@@ -1,0 +1,80 @@
+"""LRH — Local Region Homogenizing of pseudo-labels over SAM regions.
+
+Parity target: regda/utils/local_region_homog.py:99-152 (`Homogenizer`),
+the paper's core contribution. Per SAM region: build a class histogram of
+the hard pseudo-labels, take the majority class and its frequency among the
+region's *valid* (non-ignored) pixels; if the majority frequency is below
+`percent` the region abstains; abstaining pixels and pixels in region 0
+(unassigned) keep their original pseudo-label (re-weighting fallback,
+README.md:100-106).
+
+The reference does the histogram with a CUDA `torch_scatter.scatter(sum)`.
+TPU-native design: region ids are a *ragged* per-pixel index, so we fix a
+static `max_regions` bound (SAM everything-mode emits well under 1024
+regions per 512 tile; ids are clamped) and compute the (B, R, C) histogram
+either with
+  * `segment_sum` (XLA scatter-add; reference implementation used by the
+    correctness tests), or
+  * a Pallas kernel that rewrites the scatter as a chunked one-hot matmul
+    riding the MXU (see regda_tpu/ops/pallas/segment_hist.py).
+The gather back to pixels is a plain `take_along_axis` which XLA vectorizes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from regda_tpu.ops.labels import one_hot_ignore
+
+# Static bound on SAM region ids per tile (id 0 = unassigned).
+MAX_REGIONS = 1024
+
+
+def region_histogram(label_onehot: jnp.ndarray, regions: jnp.ndarray,
+                     num_regions: int = MAX_REGIONS, use_pallas: bool = False
+                     ) -> jnp.ndarray:
+    """(B, N, C) one-hot labels + (B, N) int region ids -> (B, R, C) histogram.
+
+    Region ids >= num_regions are clamped into the last bucket (SAM emits
+    far fewer regions than the bound in practice).
+    """
+    regions = jnp.clip(regions, 0, num_regions - 1)
+    if use_pallas:
+        from regda_tpu.ops.pallas.segment_hist import segment_hist_pallas
+        return segment_hist_pallas(label_onehot, regions, num_regions)
+    seg = jax.vmap(
+        lambda oh, r: jax.ops.segment_sum(oh, r, num_segments=num_regions)
+    )(label_onehot, regions)
+    return seg
+
+
+def homogenize(pseudo_labels: jnp.ndarray, regions: jnp.ndarray,
+               percent: float = 0.5, num_classes: int = 6,
+               ignore_label: int = -1, num_regions: int = MAX_REGIONS,
+               use_pallas: bool = False) -> jnp.ndarray:
+    """LRH forward. pseudo_labels (B, H, W) int, regions (B, H, W) int.
+
+    Returns refined (B, H, W) int32 labels.
+    """
+    assert pseudo_labels.ndim == 3 and regions.ndim == 3
+    b, h, w = pseudo_labels.shape
+    n = h * w
+    labels_flat = pseudo_labels.reshape(b, n)
+    regions_flat = jnp.clip(regions.reshape(b, n), 0, num_regions - 1)
+
+    onehot = one_hot_ignore(labels_flat, num_classes, ignore_label)      # (B,N,C)
+    hist = region_histogram(onehot, regions_flat, num_regions, use_pallas)  # (B,R,C)
+
+    pixel_cnt = hist.sum(axis=-1, keepdims=True)                         # (B,R,1) valid px
+    max_cnt = hist.max(axis=-1)                                          # (B,R)
+    max_cls = jnp.argmax(hist, axis=-1).astype(jnp.int32)                # (B,R)
+    frac = max_cnt / (pixel_cnt[..., 0] + 1e-5)                          # (B,R)
+    region_cls = jnp.where(frac < percent, ignore_label, max_cls)        # (B,R)
+
+    # broadcast region decision back to pixels
+    homog = jnp.take_along_axis(region_cls, regions_flat, axis=1)        # (B,N)
+    homog = jnp.where(regions_flat == 0, ignore_label, homog)
+    # re-weighting fallback: abstained pixels keep the original label
+    out = jnp.where(homog == ignore_label, labels_flat, homog)
+    return out.reshape(b, h, w).astype(jnp.int32)
