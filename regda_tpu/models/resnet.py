@@ -1,0 +1,155 @@
+"""Dilated ResNet encoder in Flax (NHWC, TPU-native).
+
+Capability parity with the reference's vendored torchvision ResNet +
+`ResNetEncoder` wrapper (regda/_resnets.py:74-180, regda/resnet.py:44-207):
+bottleneck ResNet-50/101 with the stride-2 3x3 convs of layer4 (OS=16) or
+layer3+4 (OS=8) converted to stride-1 with dilation (resnet.py:192-207's
+`_nostride_dilate`), optional BN freeze and stage freeze, returning
+[c2, c3, c4, c5].
+
+TPU-first: channel-last layout throughout (MXU-friendly), BatchNorm batch
+stats computed over the (globally sharded) batch so data-parallel training
+syncs stats for free under GSPMD; gradient checkpointing per stage is done
+with jax.checkpoint at the train-step level rather than module flags.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+# layers per stage
+RESNET_DEPTHS = {
+    'resnet18': (2, 2, 2, 2),
+    'resnet34': (3, 4, 6, 3),
+    'resnet50': (3, 4, 6, 3),
+    'resnet101': (3, 4, 23, 3),
+    'resnet152': (3, 8, 36, 3),
+}
+BASIC_BLOCK_TYPES = ('resnet18', 'resnet34')
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3(stride, dilation) -> 1x1 with projection shortcut."""
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    has_proj: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = lambda name: nn.BatchNorm(use_running_average=not train,
+                                         momentum=0.9, epsilon=1e-5,
+                                         dtype=self.dtype, name=name)
+        identity = x
+        y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+                    name='conv1')(x)
+        y = norm('bn1')(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                    padding=[(self.dilation, self.dilation)] * 2,
+                    kernel_dilation=(self.dilation, self.dilation),
+                    use_bias=False, dtype=self.dtype, name='conv2')(y)
+        y = norm('bn2')(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype,
+                    name='conv3')(y)
+        y = norm('bn3')(y)
+        if self.has_proj:
+            identity = nn.Conv(self.planes * 4, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               name='downsample_conv')(x)
+            identity = norm('downsample_bn')(identity)
+        return nn.relu(y + identity)
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    has_proj: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = lambda name: nn.BatchNorm(use_running_average=not train,
+                                         momentum=0.9, epsilon=1e-5,
+                                         dtype=self.dtype, name=name)
+        identity = x
+        y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                    padding=[(self.dilation, self.dilation)] * 2,
+                    kernel_dilation=(self.dilation, self.dilation),
+                    use_bias=False, dtype=self.dtype, name='conv1')(x)
+        y = norm('bn1')(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.planes, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
+                    dtype=self.dtype, name='conv2')(y)
+        y = norm('bn2')(y)
+        if self.has_proj:
+            identity = nn.Conv(self.planes, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               name='downsample_conv')(x)
+            identity = norm('downsample_bn')(identity)
+        return nn.relu(y + identity)
+
+
+def _stage_plan(output_stride: int) -> Sequence[tuple[int, int]]:
+    """(stride, dilation) for layer1..layer4, per `_nostride_dilate`.
+
+    OS=16: layer4 stride->1, first block's 3x3 keeps dilation 1 (dilate//2),
+    subsequent blocks use dilation 2. OS=8: layer3 dilation 2, layer4
+    dilation 4 (first blocks get dilate//2 = 1 and 2).
+    """
+    if output_stride == 32:
+        return [(1, 1, 1), (2, 1, 1), (2, 1, 1), (2, 1, 1)]
+    if output_stride == 16:
+        return [(1, 1, 1), (2, 1, 1), (2, 1, 1), (1, 1, 2)]
+    if output_stride == 8:
+        return [(1, 1, 1), (2, 1, 1), (1, 1, 2), (1, 2, 4)]
+    raise ValueError('output_stride must be 8, 16 or 32.')
+
+
+class ResNetEncoder(nn.Module):
+    """Returns [c2, c3, c4, c5] feature maps, channel-last."""
+    resnet_type: str = 'resnet101'
+    output_stride: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        depths = RESNET_DEPTHS[self.resnet_type]
+        block_cls = BasicBlock if self.resnet_type in BASIC_BLOCK_TYPES else Bottleneck
+        expansion = 1 if self.resnet_type in BASIC_BLOCK_TYPES else 4
+
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2,
+                    use_bias=False, dtype=self.dtype, name='conv1')(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name='bn1')(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+
+        feats = []
+        plan = _stage_plan(self.output_stride)
+        planes = 64
+        in_ch = 64
+        for stage_idx, (n_blocks, (stride, first_dil, rest_dil)) in enumerate(
+                zip(depths, plan), start=1):
+            for b in range(n_blocks):
+                is_first = b == 0
+                x = block_cls(
+                    planes=planes,
+                    stride=stride if is_first else 1,
+                    dilation=first_dil if is_first else rest_dil,
+                    has_proj=is_first and (stride != 1 or in_ch != planes * expansion),
+                    dtype=self.dtype,
+                    name=f'layer{stage_idx}_{b}',
+                )(x, train=train)
+                in_ch = planes * expansion
+            planes *= 2
+            feats.append(x)
+        return feats

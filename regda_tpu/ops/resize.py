@@ -40,6 +40,61 @@ def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
     return m
 
 
+@functools.lru_cache(maxsize=128)
+def _interp_matrix_half_pixel(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) matrix for 1-D linear interp with half-pixel centers
+    (PyTorch align_corners=False), edge-clamped."""
+    if n_in == n_out:
+        return np.eye(n_out, dtype=np.float32)
+    scale = n_in / n_out
+    pos = (np.arange(n_out, dtype=np.float64) + 0.5) * scale - 0.5
+    pos = np.clip(pos, 0.0, n_in - 1)
+    lo = np.floor(pos).astype(np.int64)
+    lo = np.clip(lo, 0, max(n_in - 2, 0))
+    hi = np.minimum(lo + 1, n_in - 1)
+    frac = pos - lo
+    m = np.zeros((n_out, n_in), dtype=np.float32)
+    np.add.at(m, (np.arange(n_out), lo), (1.0 - frac).astype(np.float32))
+    np.add.at(m, (np.arange(n_out), hi), frac.astype(np.float32))
+    return m
+
+
+@functools.lru_cache(maxsize=128)
+def _adaptive_pool_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) row-stochastic matrix reproducing torch AdaptiveAvgPool1d:
+    window i averages input[floor(i*n/s) : ceil((i+1)*n/s)]."""
+    m = np.zeros((n_out, n_in), dtype=np.float32)
+    for i in range(n_out):
+        lo = (i * n_in) // n_out
+        hi = -(-((i + 1) * n_in) // n_out)  # ceil
+        m[i, lo:hi] = 1.0 / (hi - lo)
+    return m
+
+
+def _apply_separable(x: jnp.ndarray, wh: np.ndarray, ww: np.ndarray) -> jnp.ndarray:
+    dt = x.dtype
+    x = x.astype(jnp.float32)
+    x = jnp.einsum('Hh,...hwc->...Hwc', jnp.asarray(wh), x, precision='highest')
+    x = jnp.einsum('Ww,...hwc->...hWc', jnp.asarray(ww), x, precision='highest')
+    return x.astype(dt)
+
+
+def resize_bilinear_half_pixel(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """torch F.interpolate(mode='bilinear', align_corners=False) on (...,H,W,C)."""
+    h_in, w_in = x.shape[-3], x.shape[-2]
+    if (h_in, w_in) == tuple(out_hw):
+        return x
+    return _apply_separable(x, _interp_matrix_half_pixel(h_in, out_hw[0]),
+                            _interp_matrix_half_pixel(w_in, out_hw[1]))
+
+
+def adaptive_avg_pool(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """torch AdaptiveAvgPool2d on channel-last (..., H, W, C), as matmuls."""
+    h_in, w_in = x.shape[-3], x.shape[-2]
+    return _apply_separable(x, _adaptive_pool_matrix(h_in, out_hw[0]),
+                            _adaptive_pool_matrix(w_in, out_hw[1]))
+
+
 def resize_bilinear_align_corners(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
     """Resize (..., H, W, C) channel-last array to (..., H', W', C).
 

@@ -1,0 +1,65 @@
+"""Model tests: shapes, jit, and numeric parity with the torch oracle via the
+checkpoint converter."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from regda_tpu.models.deeplabv2 import build_deeplabv2
+from regda_tpu.utils.torch_convert import torch_state_dict_to_variables
+from tests.torch_oracle import Deeplabv2Oracle
+
+
+@pytest.fixture(scope='module')
+def small_model():
+    model = build_deeplabv2('ResNet', num_classes=6)  # 'ResNet' -> resnet50
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init({'params': jax.random.PRNGKey(0)}, x, train=False)
+    return model, variables
+
+
+def test_train_forward_shapes(small_model):
+    model, variables = small_model
+    x = jnp.zeros((2, 64, 64, 3))
+    (p1, p2, feat), _ = model.apply(
+        variables, x, train=True, mutable=['batch_stats'],
+        rngs={'dropout': jax.random.PRNGKey(1)})
+    assert p1.shape == (2, 4, 4, 6) and p2.shape == (2, 4, 4, 6)
+    assert feat.shape == (2, 4, 4, 2048)
+
+
+def test_eval_forward_is_softmax_avg(small_model):
+    model, variables = small_model
+    x = jnp.zeros((1, 64, 64, 3))
+    probs = model.apply(variables, x, train=False)
+    assert probs.shape == (1, 64, 64, 6)
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, rtol=1e-5)
+
+
+def test_eval_forward_jits(small_model):
+    model, variables = small_model
+    fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    out = fn(variables, jnp.zeros((1, 64, 64, 3)))
+    assert out.shape == (1, 64, 64, 6)
+
+
+def test_converted_torch_checkpoint_matches_oracle():
+    torch.manual_seed(0)
+    oracle = Deeplabv2Oracle('resnet50', num_classes=6)
+    oracle.eval()
+    state = {k: v.numpy() for k, v in oracle.state_dict().items()}
+    variables = torch_state_dict_to_variables(state)
+    variables = jax.tree.map(jnp.asarray, variables)
+
+    model = build_deeplabv2('resnet50', num_classes=6)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 3, 64, 64)).astype(np.float32)
+
+    with torch.no_grad():
+        want = oracle(torch.from_numpy(x)).numpy()
+    got = np.asarray(model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                                 train=False)).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
