@@ -1,0 +1,123 @@
+"""Batched host-side data loader with threaded prefetch.
+
+Parity target: regda/datasets/daLoader.py:29-77 (`DALoader`: random sampler
++ drop_last for training, sequential for eval, num_workers=4) and
+ever's `Iterator` infinite stream (tools/train_src.py:97-99).
+
+The torch DataLoader's worker *processes* become a thread pool: sample
+reading/augmentation is PIL+numpy (releases the GIL for IO and most array
+work), batches are prefetched into a bounded queue so the TPU step never
+waits on the host. A native C++ decode path can be slotted in behind
+`TileDataset.__getitem__` later without touching this interface.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+from regda_tpu.datasets.basedata import TileDataset
+
+
+def _collate(samples: list[dict]) -> dict:
+    out = {}
+    for k in samples[0]:
+        vals = [s[k] for s in samples]
+        out[k] = vals if k == 'fname' else np.stack(vals)
+    return out
+
+
+class DALoader:
+    """Iterable over batches (dict of stacked numpy arrays)."""
+
+    def __init__(self, config: dict, dataset_name: str,
+                 seed: int = 2333):
+        self.dataset = TileDataset(
+            dataset_name,
+            image_dir=config['image_dir'],
+            mask_dir=config.get('mask_dir'),
+            transforms=config.get('transforms'),
+            label_type=config.get('label_type', 'id'),
+            read_sup=config.get('read_sup', False),
+        )
+        self.batch_size = config.get('batch_size', 1)
+        self.training = config.get('training', False)
+        self.num_workers = config.get('num_workers', 4)
+        self.drop_last = True if self.training else False
+        self.seed = seed
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _epoch_indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.training:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(idx)
+        self._epoch += 1
+        return idx
+
+    def __iter__(self) -> Iterator[dict]:
+        idx = self._epoch_indices()
+        nb = len(self)
+        rng_seeds = np.random.SeedSequence(
+            [self.seed, self._epoch]).generate_state(len(idx))
+
+        def fetch(i):
+            return self.dataset.__getitem__(
+                int(idx[i]), rng=np.random.default_rng(int(rng_seeds[i])))
+
+        if self.num_workers <= 0:
+            for b in range(nb):
+                lo = b * self.batch_size
+                hi = min(lo + self.batch_size, len(idx))
+                yield _collate([fetch(i) for i in range(lo, hi)])
+            return
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            q: "queue.Queue" = queue.Queue(maxsize=4)
+            stop = threading.Event()
+
+            def producer():
+                try:
+                    for b in range(nb):
+                        if stop.is_set():
+                            return
+                        lo = b * self.batch_size
+                        hi = min(lo + self.batch_size, len(idx))
+                        futs = [pool.submit(fetch, i) for i in range(lo, hi)]
+                        q.put(_collate([f.result() for f in futs]))
+                finally:
+                    q.put(None)
+
+            t = threading.Thread(target=producer, daemon=True)
+            t.start()
+            try:
+                while True:
+                    batch = q.get()
+                    if batch is None:
+                        break
+                    yield batch
+            finally:
+                stop.set()
+
+
+class InfiniteIterator:
+    """ever.Iterator equivalent: endless batch stream for step-based loops."""
+
+    def __init__(self, loader: DALoader):
+        self.loader = loader
+        self._it = iter(loader)
+
+    def next(self) -> dict:
+        try:
+            return next(self._it)
+        except StopIteration:
+            self._it = iter(self.loader)
+            return next(self._it)

@@ -1,0 +1,62 @@
+"""Jit-compiled segmentation inference engine (whole-tile / slide / TTA).
+
+This is the single inference path shared by evaluation (tools/eval.py),
+single-image prediction (tools/infer_single.py) and offline pseudo-label
+generation (regda/gast/pseudo_generation.py:96-155 equivalent). Jitted
+functions are cached per (input shape, slide, tta) so repeated tiles of the
+same geometry reuse the compiled executable.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from regda_tpu.ops.slide import slide_inference
+from regda_tpu.ops.tta import tta_apply
+
+
+class SegInferencer:
+    def __init__(self, model, variables, num_classes: int,
+                 tile: int = 512, stride: int = 256,
+                 compute_dtype: Optional[jnp.dtype] = None):
+        self.model = model
+        self.variables = jax.device_put(variables)
+        self.num_classes = num_classes
+        self.tile = tile
+        self.stride = stride
+        self.compute_dtype = compute_dtype
+        self._cache: dict = {}
+
+    def _make_fn(self, shape, slide: bool, tta: bool):
+        def apply_probs(variables, x):
+            if self.compute_dtype is not None:
+                x = x.astype(self.compute_dtype)
+            out = self.model.apply(variables, x, train=False)
+            return out.astype(jnp.float32)
+
+        def fn(variables, image):
+            if slide:
+                return slide_inference(
+                    lambda t: apply_probs(variables, t), image,
+                    self.num_classes, self.tile, self.stride, tta)
+            if tta:
+                return tta_apply(lambda t: apply_probs(variables, t), image)
+            return apply_probs(variables, image)
+
+        return jax.jit(fn)
+
+    def predict_probs(self, images: np.ndarray, slide: bool = True,
+                      tta: bool = False) -> np.ndarray:
+        """images: (B, H, W, 3) normalized float32 -> (B, H, W, C) probs."""
+        key = (images.shape, slide, tta)
+        if key not in self._cache:
+            self._cache[key] = self._make_fn(images.shape, slide, tta)
+        return np.asarray(self._cache[key](self.variables,
+                                           jnp.asarray(images)))
+
+    def update_variables(self, variables):
+        self.variables = jax.device_put(variables)

@@ -83,4 +83,5 @@ def build_deeplabv2(model_name: str, num_classes: int,
     name = model_name.lower()
     if name == 'resnet':
         name = 'resnet50'
+    kw.setdefault('fc_dim', 512 if name in ('resnet18', 'resnet34') else 2048)
     return DeeplabV2(resnet_type=name, num_classes=num_classes, dtype=dtype, **kw)

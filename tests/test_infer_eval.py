@@ -1,0 +1,153 @@
+"""Tests: TTA, slide inference, metrics, and the end-to-end eval harness on a
+synthetic dataset."""
+
+import os
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from PIL import Image
+
+from regda_tpu.ops.tta import tta_apply
+from regda_tpu.ops.slide import slide_inference, tile_positions
+from regda_tpu.utils.metrics import PixelMetricIgnore
+
+
+def test_tta_identity_for_equivariant_fn():
+    # an equivariant fn (elementwise) must be unchanged by TTA averaging
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 3)).astype(np.float32))
+    fn = lambda t: t * 2.0
+    np.testing.assert_allclose(np.asarray(tta_apply(fn, x)),
+                               np.asarray(fn(x)), rtol=1e-6)
+
+
+def test_tta_averages_eight_variants():
+    # fn returns a constant depending on the corner pixel -> detects aug set
+    def fn(t):
+        return jnp.broadcast_to(t[:, :1, :1, :1], t.shape[:3] + (1,))
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 1)).astype(np.float32))
+    out = np.asarray(tta_apply(fn, x))
+    # oracle: mean over the 8 dihedral transforms applied to x
+    xs = []
+    xn = np.asarray(x)
+    for f in (False, True):
+        for k in range(4):
+            v = xn[:, :, ::-1] if f else xn
+            v = np.rot90(v, k, axes=(1, 2))
+            c = np.broadcast_to(v[:, :1, :1, :1], v.shape)
+            c = np.rot90(c, -k, axes=(1, 2))
+            if f:
+                c = c[:, :, ::-1]
+            xs.append(c)
+    np.testing.assert_allclose(out, np.mean(xs, axis=0), rtol=1e-6)
+
+
+def test_tile_positions_1024():
+    pos = tile_positions(1024, 1024, 512, 256)
+    assert len(pos) == 9
+    assert pos[0] == (0, 0) and pos[-1] == (512, 512)
+
+
+def test_slide_matches_numpy_oracle():
+    """Count-normalized accumulation vs reference pre_slide (tools.py:61-97)."""
+    rng = np.random.default_rng(2)
+    img = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    C = 4
+
+    def apply_np(t):  # deterministic fake model on numpy
+        return np.stack([t.sum(-1) * (i + 1) for i in range(C)], axis=-1)
+
+    def apply_jx(t):
+        return jnp.stack([t.sum(-1) * (i + 1) for i in range(C)], axis=-1)
+
+    got = np.asarray(slide_inference(apply_jx, jnp.asarray(img), C,
+                                     tile=32, stride=16))
+    # oracle
+    full = np.zeros((1, 64, 64, C), np.float32)
+    cnt = np.zeros((1, 64, 64, 1), np.float32)
+    for y, x in tile_positions(64, 64, 32, 16):
+        pred = apply_np(img[:, y:y + 32, x:x + 32])
+        full[:, y:y + 32, x:x + 32] += pred
+        cnt[:, y:y + 32, x:x + 32] += 1
+    np.testing.assert_allclose(got, full / cnt, rtol=1e-5)
+
+
+def test_slide_pads_small_images():
+    def apply_jx(t):
+        return jnp.ones(t.shape[:3] + (2,))
+    out = slide_inference(apply_jx, jnp.zeros((1, 20, 20, 3)), 2, tile=32,
+                          stride=16)
+    assert out.shape == (1, 20, 20, 2)
+
+
+class TestMetrics:
+    def test_perfect_prediction(self):
+        m = PixelMetricIgnore(3, class_names=['a', 'b', 'c'], ignore_labels=[0])
+        y = np.array([0, 1, 2, 1, 2])
+        m.forward(y, y)
+        tb, miou = m.summary_all()
+        assert miou == 1.0
+        assert 'mean' in str(tb)
+
+    def test_ignored_class_popped(self):
+        m = PixelMetricIgnore(3, class_names=['bg', 'x', 'y'], ignore_labels=[0])
+        y_true = np.array([0, 0, 1, 2])
+        y_pred = np.array([1, 2, 1, 2])  # bg always wrong; x,y right
+        m.forward(y_true, y_pred)
+        tb, miou = m.summary_all()
+        # bg popped; iou(x)=1/2 (fp from bg), iou(y)=1/2
+        assert miou == pytest.approx(0.5)
+
+    def test_negative_gt_excluded(self):
+        m = PixelMetricIgnore(2)
+        m.forward(np.array([-1, 0, 1]), np.array([0, 0, 1]))
+        assert m.confusion_matrix.sum() == 2
+
+
+@pytest.fixture(scope='module')
+def synthetic_isprs(tmp_path_factory):
+    """Tiny IsprsDA-like tree: 3 val tiles of 64x64."""
+    root = tmp_path_factory.mktemp('data')
+    img_dir = root / 'img_dir' / 'val'
+    ann_dir = root / 'ann_dir' / 'val'
+    img_dir.mkdir(parents=True)
+    ann_dir.mkdir(parents=True)
+    rng = np.random.default_rng(3)
+    for i in range(3):
+        img = rng.integers(0, 255, size=(64, 64, 3)).astype(np.uint8)
+        lbl = rng.integers(0, 6, size=(64, 64)).astype(np.uint8)
+        Image.fromarray(img).save(img_dir / f'tile_{i}.png')
+        Image.fromarray(lbl).save(ann_dir / f'tile_{i}.png')
+    return str(img_dir), str(ann_dir)
+
+
+def test_evaluate_end_to_end(synthetic_isprs, tmp_path):
+    from regda_tpu.models import build_deeplabv2
+    from regda_tpu.utils.eval import evaluate
+    from regda_tpu.aug import Compose, Normalize
+
+    img_dir, ann_dir = synthetic_isprs
+    cfg = types.SimpleNamespace(
+        DATASETS='IsprsDA',
+        SNAPSHOT_DIR=str(tmp_path / 'snap'),
+        EVAL_DATA_CONFIG=dict(
+            image_dir=[img_dir], mask_dir=[ann_dir],
+            transforms=Compose([Normalize((120., 80., 80.), (50., 40., 40.))]),
+            training=False, batch_size=1, num_workers=0),
+        TEST_DATA_CONFIG=None,
+    )
+    model = build_deeplabv2('resnet18', num_classes=6)
+    variables = model.init({'params': jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    tb, miou = evaluate(model, variables, cfg, is_training=True,
+                        ckpt_path=str(tmp_path / 'fake.ckpt'), slide=False)
+    assert 0.0 <= miou <= 1.0
+    assert 'iou' in str(tb)
+    # viz PNGs written
+    vis = os.path.join(cfg.SNAPSHOT_DIR, 'vis-fake.ckpt')
+    assert len(os.listdir(vis)) == 3
