@@ -1,0 +1,2 @@
+from regda_tpu.parallel.mesh import (make_mesh, batch_sharding,
+                                     replicated_sharding, shard_batch)
