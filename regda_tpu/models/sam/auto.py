@@ -1,0 +1,341 @@
+"""SAM everything-mode automatic mask generation, TPU-batched.
+
+Capability parity with segment-anything's `SamAutomaticMaskGenerator` as
+configured by the reference (regda/utils/local_region_homog.py:32-39:
+points_per_side=32, pred_iou_thresh=0.90, stability_score_thresh=0.95,
+crop_n_layers=1, crop_n_points_downscale_factor=2).
+
+TPU-first pipeline per crop:
+  1. one jit'd ViT encoder pass on the 1024-resized crop;
+  2. the 32x32 point grid decoded in jit'd batches (points stacked along the
+     prompt dimension -> batched two-way transformer, MXU-dense);
+  3. per-mask scalars (predicted IoU, stability score on the low-res logits,
+     area) computed on device; only scalars stream back to the host for
+     filtering;
+  4. surviving low-res logits are upscaled/thresholded in a second jit'd op
+     (padded to a static mask budget) and transferred once;
+  5. greedy box-NMS + region-id packing on host numpy (cheap, tiny data).
+
+Note: stability scores are computed on the 256x256 logits rather than the
+full-res upscaled logits (the original does the latter); the ratio is
+scale-invariant to first order and avoids materializing every candidate at
+full resolution.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+from PIL import Image
+
+from regda_tpu.models.sam.vit import ImageEncoderViT, VIT_CONFIGS
+from regda_tpu.models.sam.prompt import PromptEncoder
+from regda_tpu.models.sam.decoder import MaskDecoder
+
+SAM_PIXEL_MEAN = np.array([123.675, 116.28, 103.53], np.float32)
+SAM_PIXEL_STD = np.array([58.395, 57.12, 57.375], np.float32)
+
+
+class Sam(nn.Module):
+    """Bundled SAM modules sharing one variable tree."""
+    vit_config: str = 'vit_b'
+    img_size: int = 1024
+
+    def setup(self):
+        cfg = VIT_CONFIGS[self.vit_config]
+        self.image_encoder = ImageEncoderViT(
+            img_size=self.img_size, name='image_encoder', **cfg)
+        emb = self.img_size // 16
+        self.prompt_encoder = PromptEncoder(
+            image_embedding_size=(emb, emb),
+            input_image_size=(self.img_size, self.img_size),
+            name='prompt_encoder')
+        self.mask_decoder = MaskDecoder(name='mask_decoder')
+
+    def encode(self, image):
+        return self.image_encoder(image)
+
+    def decode_points(self, image_embedding, points, labels):
+        """image_embedding (1, 64, 64, 256); points (P, 1, 2) input-res xy.
+
+        Returns (low-res mask logits (P, 3, 256, 256), iou (P, 3))."""
+        sparse, dense = self.prompt_encoder(points, labels)
+        image_pe = self.prompt_encoder.get_dense_pe()
+        masks, iou = self.mask_decoder(image_embedding, image_pe, sparse,
+                                       dense, multimask_output=True)
+        return masks, iou
+
+    def __call__(self, image, points, labels):
+        emb = self.encode(image)
+        return self.decode_points(emb, points, labels)
+
+
+def build_point_grid(n_per_side: int) -> np.ndarray:
+    offset = 1 / (2 * n_per_side)
+    pts = np.linspace(offset, 1 - offset, n_per_side)
+    xs, ys = np.meshgrid(pts, pts)
+    return np.stack([xs.ravel(), ys.ravel()], axis=-1)  # (n^2, 2) in [0,1]
+
+
+def generate_crop_boxes(im_size, n_layers: int, overlap_ratio: float):
+    """Crop pyramid (x0, y0, x1, y1) boxes + layer indices."""
+    crop_boxes = [[0, 0, im_size[1], im_size[0]]]
+    layer_idxs = [0]
+    short_side = min(im_size)
+
+    def crop_len(orig_len, n_crops, overlap):
+        return int(math.ceil((overlap * (n_crops - 1) + orig_len) / n_crops))
+
+    for i_layer in range(n_layers):
+        n_crops_per_side = 2 ** (i_layer + 1)
+        overlap = int(overlap_ratio * short_side * (2 / n_crops_per_side))
+        crop_w = crop_len(im_size[1], n_crops_per_side, overlap)
+        crop_h = crop_len(im_size[0], n_crops_per_side, overlap)
+        x0s = [int((crop_w - overlap) * i) for i in range(n_crops_per_side)]
+        y0s = [int((crop_h - overlap) * i) for i in range(n_crops_per_side)]
+        for x0 in x0s:
+            for y0 in y0s:
+                crop_boxes.append([x0, y0, min(x0 + crop_w, im_size[1]),
+                                   min(y0 + crop_h, im_size[0])])
+                layer_idxs.append(i_layer + 1)
+    return crop_boxes, layer_idxs
+
+
+def _box_iou(box, boxes):
+    x0 = np.maximum(box[0], boxes[:, 0])
+    y0 = np.maximum(box[1], boxes[:, 1])
+    x1 = np.minimum(box[2], boxes[:, 2])
+    y1 = np.minimum(box[3], boxes[:, 3])
+    inter = np.clip(x1 - x0, 0, None) * np.clip(y1 - y0, 0, None)
+    a = (box[2] - box[0]) * (box[3] - box[1])
+    b = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    return inter / np.maximum(a + b - inter, 1e-7)
+
+
+def nms_boxes(boxes: np.ndarray, scores: np.ndarray, iou_thresh: float):
+    order = np.argsort(-scores)
+    keep = []
+    while order.size:
+        i = order[0]
+        keep.append(i)
+        if order.size == 1:
+            break
+        ious = _box_iou(boxes[i], boxes[order[1:]])
+        order = order[1:][ious <= iou_thresh]
+    return np.asarray(keep, np.int64)
+
+
+class SamAutomaticMaskGenerator:
+    def __init__(self, model: Sam, variables, points_per_side: int = 32,
+                 points_per_batch: int = 64, pred_iou_thresh: float = 0.88,
+                 stability_score_thresh: float = 0.95,
+                 stability_score_offset: float = 1.0,
+                 box_nms_thresh: float = 0.7, crop_n_layers: int = 0,
+                 crop_nms_thresh: float = 0.7,
+                 crop_overlap_ratio: float = 512 / 1500,
+                 crop_n_points_downscale_factor: int = 1,
+                 mask_budget: int = 256,
+                 compute_dtype=jnp.bfloat16):
+        self.model = model
+        self.variables = jax.device_put(variables)
+        self.points_per_side = points_per_side
+        self.points_per_batch = points_per_batch
+        self.pred_iou_thresh = pred_iou_thresh
+        self.stability_score_thresh = stability_score_thresh
+        self.stability_score_offset = stability_score_offset
+        self.box_nms_thresh = box_nms_thresh
+        self.crop_n_layers = crop_n_layers
+        self.crop_nms_thresh = crop_nms_thresh
+        self.crop_overlap_ratio = crop_overlap_ratio
+        self.crop_n_points_downscale_factor = crop_n_points_downscale_factor
+        self.mask_budget = mask_budget
+        self.compute_dtype = compute_dtype
+        self.img_size = model.img_size
+        self._jits: dict = {}
+
+    # ------------------------------------------------------------ jit pieces
+    def _encode_fn(self):
+        if 'encode' not in self._jits:
+            dt = self.compute_dtype
+
+            def enc(variables, image):
+                out = self.model.apply(variables, image.astype(dt),
+                                       method=self.model.encode)
+                return out.astype(jnp.float32)
+
+            self._jits['encode'] = jax.jit(enc)
+        return self._jits['encode']
+
+    def _decode_fn(self):
+        if 'decode' not in self._jits:
+            off = self.stability_score_offset
+
+            def dec(variables, embedding, points):
+                """points: (P, 2) input-res xy -> per-mask scalars + logits."""
+                pts = points[:, None, :]
+                lbs = jnp.ones(pts.shape[:2], jnp.int32)
+                masks, iou = self.model.apply(
+                    variables, embedding, pts, lbs,
+                    method=self.model.decode_points)   # (P,3,256,256),(P,3)
+                m = masks.astype(jnp.float32)
+                inter = (m > off).sum(axis=(-2, -1)).astype(jnp.float32)
+                union = (m > -off).sum(axis=(-2, -1)).astype(jnp.float32)
+                stability = inter / jnp.maximum(union, 1.0)
+                return masks, iou, stability
+
+            self._jits['decode'] = jax.jit(dec)
+        return self._jits['decode']
+
+    def _upscale_fn(self, out_hw):
+        key = ('upscale', out_hw)
+        if key not in self._jits:
+            from regda_tpu.ops.resize import resize_bilinear_half_pixel
+
+            def ups(logits):
+                """(M, 256, 256) low-res logits -> bool masks (M, H, W)."""
+                x = logits[..., None]
+                x = resize_bilinear_half_pixel(x, out_hw)[..., 0]
+                return x > 0.0
+
+            self._jits[key] = jax.jit(ups)
+        return self._jits[key]
+
+    # ------------------------------------------------------------- pipeline
+    def _preprocess(self, image_np: np.ndarray) -> np.ndarray:
+        """uint8 HWC crop -> (1, 1024, 1024, 3) normalized float32."""
+        h, w = image_np.shape[:2]
+        scale = self.img_size / max(h, w)
+        nh, nw = int(h * scale + 0.5), int(w * scale + 0.5)
+        img = np.asarray(Image.fromarray(image_np).resize(
+            (nw, nh), Image.BILINEAR), np.float32)
+        img = (img - SAM_PIXEL_MEAN) / SAM_PIXEL_STD
+        out = np.zeros((self.img_size, self.img_size, 3), np.float32)
+        out[:nh, :nw] = img
+        return out[None], (nh, nw)
+
+    def _process_crop(self, image_np: np.ndarray, crop_box, layer_idx: int):
+        x0, y0, x1, y1 = crop_box
+        crop = image_np[y0:y1, x0:x1]
+        ch, cw = crop.shape[:2]
+        batchable, (nh, nw) = self._preprocess(crop)
+        embedding = self._encode_fn()(self.variables, jnp.asarray(batchable))
+
+        n_side = self.points_per_side // (
+            self.crop_n_points_downscale_factor ** layer_idx)
+        grid = build_point_grid(n_side)  # [0,1] in crop frame
+        # to 1024-resized-crop coordinates
+        pts_input = grid * np.array([nw, nh], np.float32)
+
+        decode = self._decode_fn()
+        keep_logits, keep_iou, keep_pts = [], [], []
+        pb = self.points_per_batch
+        n_pts = pts_input.shape[0]
+        pad = (-n_pts) % pb
+        pts_padded = np.concatenate(
+            [pts_input, np.zeros((pad, 2), np.float32)], axis=0)
+        for i in range(0, len(pts_padded), pb):
+            chunk = jnp.asarray(pts_padded[i:i + pb])
+            masks, iou, stability = decode(self.variables, embedding, chunk)
+            iou_np = np.asarray(iou).ravel()
+            st_np = np.asarray(stability).ravel()
+            valid = np.ones_like(iou_np, bool)
+            if i + pb > n_pts:  # mask out padded points
+                valid_pts = np.zeros((pb, 3), bool)
+                valid_pts[:n_pts - i] = True
+                valid = valid_pts.ravel()
+            sel = valid & (iou_np > self.pred_iou_thresh) \
+                & (st_np >= self.stability_score_thresh)
+            if sel.any():
+                flat = np.asarray(masks.reshape(-1, *masks.shape[-2:]))
+                keep_logits.append(flat[sel])
+                keep_iou.append(iou_np[sel])
+        if not keep_logits:
+            return [], np.zeros((0, 4)), np.zeros((0,))
+        logits = np.concatenate(keep_logits)[:self.mask_budget]
+        ious = np.concatenate(keep_iou)[:self.mask_budget]
+
+        # upscale surviving logits to the crop size (through the 1024 frame:
+        # the crop occupies [:nh,:nw] of the padded 1024 square)
+        ups = self._upscale_fn((self.img_size, self.img_size))
+        pad_m = (-len(logits)) % 8 or 0
+        logits_j = jnp.asarray(np.concatenate(
+            [logits, np.zeros((pad_m, *logits.shape[1:]), logits.dtype)])
+            if pad_m else logits)
+        masks_full = np.asarray(ups(logits_j))[:len(logits), :nh, :nw]
+        # resize to crop resolution
+        if (nh, nw) != (ch, cw):
+            masks_crop = np.stack([
+                np.asarray(Image.fromarray(m).resize((cw, ch), Image.NEAREST))
+                for m in masks_full])
+        else:
+            masks_crop = masks_full
+
+        # boxes + areas
+        boxes, areas, keep = [], [], []
+        for i, m in enumerate(masks_crop):
+            ys, xs = np.nonzero(m)
+            if ys.size == 0:
+                continue
+            keep.append(i)
+            boxes.append([xs.min() + x0, ys.min() + y0,
+                          xs.max() + 1 + x0, ys.max() + 1 + y0])
+            areas.append(ys.size)
+        if not keep:
+            return [], np.zeros((0, 4)), np.zeros((0,))
+        masks_crop = masks_crop[keep]
+        ious = ious[np.asarray(keep)]
+        boxes = np.asarray(boxes, np.float32)
+
+        # per-crop NMS
+        k = nms_boxes(boxes, ious, self.box_nms_thresh)
+        anns = []
+        for i in k:
+            full = np.zeros(image_np.shape[:2], bool)
+            full[y0:y1, x0:x1] = masks_crop[i]
+            anns.append({'segmentation': full,
+                         'area': int(masks_crop[i].sum()),
+                         'bbox': boxes[i].tolist(),
+                         'predicted_iou': float(ious[i])})
+        return anns, boxes[k], ious[k]
+
+    def generate(self, image_np: np.ndarray) -> list[dict]:
+        """image_np: uint8 (H, W, 3). Returns list of annotation dicts."""
+        crop_boxes, layer_idxs = generate_crop_boxes(
+            image_np.shape[:2], self.crop_n_layers, self.crop_overlap_ratio)
+        all_anns, all_boxes, all_scores = [], [], []
+        for box, layer in zip(crop_boxes, layer_idxs):
+            anns, boxes, scores = self._process_crop(image_np, box, layer)
+            # prefer masks from smaller crops under cross-crop NMS (SAM
+            # scores crop results by 1/len(crop)) — approximated by keeping
+            # per-crop order and demoting layer-0 duplicates
+            for a, s in zip(anns, scores):
+                a['crop_layer'] = layer
+            all_anns += anns
+            if len(boxes):
+                all_boxes.append(boxes)
+                all_scores.append(scores + layer * 1e-3)
+        if not all_anns:
+            return []
+        if len(crop_boxes) > 1:
+            boxes = np.concatenate(all_boxes)
+            scores = np.concatenate(all_scores)
+            keep = nms_boxes(boxes, scores, self.crop_nms_thresh)
+            all_anns = [all_anns[i] for i in keep]
+        return all_anns
+
+
+def regions_from_anns(anns: list[dict], size, area_threshold: int = 1024
+                      ) -> np.ndarray:
+    """Pack annotations into an int32 region map (id = index + 1, 0 =
+    unassigned) keeping only masks with area >= threshold
+    (local_region_homog.py:51-56)."""
+    mask = np.zeros(size, np.int32)
+    for i, ann in enumerate(anns):
+        if ann['area'] >= area_threshold:
+            mask[ann['segmentation']] = i + 1
+    return mask

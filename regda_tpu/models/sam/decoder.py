@@ -1,0 +1,189 @@
+"""SAM mask decoder: two-way transformer + hypernetwork mask heads.
+
+From-scratch JAX implementation of the published SAM decoder (2-layer
+two-way transformer with downsampled attention, IoU token + 4 mask tokens,
+2x2 transposed-conv upscaling, per-token hypernetwork MLPs, IoU MLP head).
+Used in batched everything-mode: one call decodes a whole batch of point
+prompts against a single image embedding.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+class AttentionDS(nn.Module):
+    """Multi-head attention with optional internal downsampling."""
+    embed_dim: int = 256
+    num_heads: int = 8
+    downsample_rate: int = 1
+
+    @nn.compact
+    def __call__(self, q, k, v):
+        dim = self.embed_dim // self.downsample_rate
+        head_dim = dim // self.num_heads
+        qp = nn.Dense(dim, name='q_proj')(q)
+        kp = nn.Dense(dim, name='k_proj')(k)
+        vp = nn.Dense(dim, name='v_proj')(v)
+
+        def split(x):
+            b, n, _ = x.shape
+            return x.reshape(b, n, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        qh, kh, vh = split(qp), split(kp), split(vp)
+        attn = (qh @ kh.transpose(0, 1, 3, 2)) / (head_dim ** 0.5)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = attn @ vh
+        b, h, n, d = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+        return nn.Dense(self.embed_dim, name='out_proj')(out)
+
+
+class TwoWayAttentionBlock(nn.Module):
+    embed_dim: int = 256
+    num_heads: int = 8
+    mlp_dim: int = 2048
+    skip_first_layer_pe: bool = False
+
+    @nn.compact
+    def __call__(self, queries, keys, query_pe, key_pe):
+        if self.skip_first_layer_pe:
+            queries = AttentionDS(self.embed_dim, self.num_heads,
+                                  name='self_attn')(queries, queries, queries)
+        else:
+            q = queries + query_pe
+            queries = queries + AttentionDS(self.embed_dim, self.num_heads,
+                                            name='self_attn')(q, q, queries)
+        queries = nn.LayerNorm(epsilon=1e-5, name='norm1')(queries)
+
+        q = queries + query_pe
+        k = keys + key_pe
+        queries = queries + AttentionDS(self.embed_dim, self.num_heads, 2,
+                                        name='cross_attn_token_to_image'
+                                        )(q, k, keys)
+        queries = nn.LayerNorm(epsilon=1e-5, name='norm2')(queries)
+
+        mlp = nn.Dense(self.mlp_dim, name='mlp_lin1')(queries)
+        mlp = nn.relu(mlp)
+        mlp = nn.Dense(self.embed_dim, name='mlp_lin2')(mlp)
+        queries = nn.LayerNorm(epsilon=1e-5, name='norm3')(queries + mlp)
+
+        q = queries + query_pe
+        k = keys + key_pe
+        keys = keys + AttentionDS(self.embed_dim, self.num_heads, 2,
+                                  name='cross_attn_image_to_token'
+                                  )(k, q, queries)
+        keys = nn.LayerNorm(epsilon=1e-5, name='norm4')(keys)
+        return queries, keys
+
+
+class TwoWayTransformer(nn.Module):
+    depth: int = 2
+    embed_dim: int = 256
+    num_heads: int = 8
+    mlp_dim: int = 2048
+
+    @nn.compact
+    def __call__(self, image_embedding, image_pe, point_embedding):
+        """image_embedding/image_pe: (B, H, W, C); point_embedding (B, N, C)."""
+        b, h, w, c = image_embedding.shape
+        keys = image_embedding.reshape(b, h * w, c)
+        key_pe = jnp.broadcast_to(image_pe.reshape(-1, h * w, c), keys.shape)
+        queries = point_embedding
+        for i in range(self.depth):
+            queries, keys = TwoWayAttentionBlock(
+                self.embed_dim, self.num_heads, self.mlp_dim,
+                skip_first_layer_pe=(i == 0), name=f'layer{i}')(
+                    queries, keys, point_embedding, key_pe)
+        q = queries + point_embedding
+        k = keys + key_pe
+        queries = queries + AttentionDS(self.embed_dim, self.num_heads, 2,
+                                        name='final_attn_token_to_image'
+                                        )(q, k, keys)
+        queries = nn.LayerNorm(epsilon=1e-5, name='norm_final_attn')(queries)
+        return queries, keys
+
+
+class MLP(nn.Module):
+    hidden_dim: int
+    output_dim: int
+    num_layers: int = 3
+    sigmoid_output: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers - 1):
+            x = nn.relu(nn.Dense(self.hidden_dim, name=f'lin{i}')(x))
+        x = nn.Dense(self.output_dim, name=f'lin{self.num_layers - 1}')(x)
+        if self.sigmoid_output:
+            x = jax.nn.sigmoid(x)
+        return x
+
+
+class MaskDecoder(nn.Module):
+    embed_dim: int = 256
+    num_multimask_outputs: int = 3
+
+    @nn.compact
+    def __call__(self, image_embeddings, image_pe, sparse_prompt, dense_prompt,
+                 multimask_output: bool = True):
+        """image_embeddings: (1, H, W, C) single-image embedding;
+        sparse_prompt: (B, Np, C) for B prompts; dense_prompt: (B, H, W, C).
+        Returns (masks (B, M, 4H, 4W), iou_pred (B, M))."""
+        num_mask_tokens = self.num_multimask_outputs + 1
+        iou_token = self.param('iou_token', nn.initializers.normal(1.0),
+                               (1, self.embed_dim))
+        mask_tokens = self.param('mask_tokens', nn.initializers.normal(1.0),
+                                 (num_mask_tokens, self.embed_dim))
+
+        b = sparse_prompt.shape[0]
+        output_tokens = jnp.concatenate([iou_token, mask_tokens], axis=0)
+        tokens = jnp.concatenate(
+            [jnp.broadcast_to(output_tokens[None],
+                              (b, *output_tokens.shape)), sparse_prompt],
+            axis=1)
+
+        src = jnp.broadcast_to(image_embeddings,
+                               (b, *image_embeddings.shape[1:])) + dense_prompt
+        hs, src = TwoWayTransformer(name='transformer')(
+            src, image_pe[None] if image_pe.ndim == 3 else image_pe, tokens)
+        iou_token_out = hs[:, 0]
+        mask_tokens_out = hs[:, 1:1 + num_mask_tokens]
+
+        h, w = image_embeddings.shape[1:3]
+        src = src.reshape(b, h, w, self.embed_dim)
+        up = nn.ConvTranspose(self.embed_dim // 4, (2, 2), strides=(2, 2),
+                              name='upscale_conv1')(src)
+        up = LayerNorm2dDec(name='upscale_ln')(up)
+        up = nn.gelu(up, approximate=False)
+        up = nn.ConvTranspose(self.embed_dim // 8, (2, 2), strides=(2, 2),
+                              name='upscale_conv2')(up)
+        up = nn.gelu(up, approximate=False)          # (B, 4H, 4W, C/8)
+
+        hyper_in = jnp.stack([
+            MLP(self.embed_dim, self.embed_dim // 8,
+                name=f'hyper_mlp{i}')(mask_tokens_out[:, i])
+            for i in range(num_mask_tokens)], axis=1)  # (B, M, C/8)
+        uh, uw = up.shape[1:3]
+        masks = jnp.einsum('bmc,bhwc->bmhw', hyper_in, up)
+        iou_pred = MLP(self.embed_dim, num_mask_tokens,
+                       name='iou_prediction_head')(iou_token_out)
+
+        if multimask_output:
+            return masks[:, 1:], iou_pred[:, 1:]
+        return masks[:, :1], iou_pred[:, :1]
+
+
+class LayerNorm2dDec(nn.Module):
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        w = self.param('weight', nn.initializers.ones, (dim,))
+        b = self.param('bias', nn.initializers.zeros, (dim,))
+        mean = x.mean(-1, keepdims=True)
+        var = ((x - mean) ** 2).mean(-1, keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + self.eps) * w + b

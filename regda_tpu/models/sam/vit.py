@@ -1,0 +1,199 @@
+"""SAM image encoder: ViT with windowed attention + decomposed relative
+position embeddings, in Flax (NHWC).
+
+Capability parity with the segment-anything dependency used by the
+reference's region generator (regda/utils/local_region_homog.py:22,29-39).
+This is a from-scratch JAX implementation of the published SAM ViT
+architecture (Kirillov et al. 2023): patch-embed conv (16x16/s16), learned
+absolute position embedding, transformer blocks with 14x14 window attention
+except at the global-attention indices, per-axis decomposed relative
+position biases, and a conv neck to 256 channels.
+
+TPU-first notes: window partition is pure reshape/transpose (free for XLA);
+attention is batched matmuls in bf16-friendly shapes; the rel-pos bias
+tables are gathered once per block and added to logits before softmax.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+VIT_CONFIGS = {
+    # tiny config for tests / smoke runs
+    'vit_t': dict(embed_dim=64, depth=2, num_heads=2,
+                  global_attn_indexes=(1,)),
+    'vit_b': dict(embed_dim=768, depth=12, num_heads=12,
+                  global_attn_indexes=(2, 5, 8, 11)),
+    'vit_l': dict(embed_dim=1024, depth=24, num_heads=16,
+                  global_attn_indexes=(5, 11, 17, 23)),
+    'vit_h': dict(embed_dim=1280, depth=32, num_heads=16,
+                  global_attn_indexes=(7, 15, 23, 31)),
+}
+
+
+class LayerNorm2d(nn.Module):
+    """Channel-wise LayerNorm over the last axis of NHWC maps (SAM's
+    LayerNorm2d normalizes over C only)."""
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        w = self.param('weight', nn.initializers.ones, (dim,))
+        b = self.param('bias', nn.initializers.zeros, (dim,))
+        mean = x.mean(-1, keepdims=True)
+        var = ((x - mean) ** 2).mean(-1, keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + self.eps) * w + b
+
+
+def _get_rel_pos(q_size: int, k_size: int, rel_pos: jnp.ndarray) -> jnp.ndarray:
+    """Interpolate/gather the relative-position table to (q_size, k_size)."""
+    max_rel_dist = 2 * max(q_size, k_size) - 1
+    if rel_pos.shape[0] != max_rel_dist:
+        # linear-resize the table (torch interpolate 'linear', align corners
+        # semantics are immaterial here — tables are learned)
+        t = jax.image.resize(rel_pos.astype(jnp.float32),
+                             (max_rel_dist, rel_pos.shape[1]), 'linear')
+    else:
+        t = rel_pos
+    q_coords = np.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
+    k_coords = np.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
+    rel = (q_coords - k_coords) + (k_size - 1) * max(q_size / k_size, 1.0)
+    return t[jnp.asarray(rel.astype(np.int64))]
+
+
+def _add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w, q_hw, k_hw):
+    """SAM's decomposed rel-pos bias: logits += qr_h + qr_w."""
+    q_h, q_w = q_hw
+    k_h, k_w = k_hw
+    rh = _get_rel_pos(q_h, k_h, rel_pos_h)            # (q_h, k_h, hd)
+    rw = _get_rel_pos(q_w, k_w, rel_pos_w)            # (q_w, k_w, hd)
+    b, _, dim = q.shape
+    r_q = q.reshape(b, q_h, q_w, dim)
+    rel_h = jnp.einsum('bhwc,hkc->bhwk', r_q, rh)
+    rel_w = jnp.einsum('bhwc,wkc->bhwk', r_q, rw)
+    attn = attn.reshape(b, q_h, q_w, k_h, k_w)
+    attn = attn + rel_h[:, :, :, :, None] + rel_w[:, :, :, None, :]
+    return attn.reshape(b, q_h * q_w, k_h * k_w)
+
+
+class Attention(nn.Module):
+    dim: int
+    num_heads: int
+    use_rel_pos: bool = True
+    input_size: tuple[int, int] = (14, 14)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, _ = x.shape
+        head_dim = self.dim // self.num_heads
+        scale = head_dim ** -0.5
+        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name='qkv')(x)
+        qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
+        qkv = qkv.transpose(2, 0, 3, 1, 4).reshape(3, b * self.num_heads,
+                                                   h * w, head_dim)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = (q * scale) @ k.transpose(0, 2, 1)
+        if self.use_rel_pos:
+            rel_pos_h = self.param('rel_pos_h', nn.initializers.zeros,
+                                   (2 * self.input_size[0] - 1, head_dim))
+            rel_pos_w = self.param('rel_pos_w', nn.initializers.zeros,
+                                   (2 * self.input_size[1] - 1, head_dim))
+            attn = _add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w,
+                                           (h, w), (h, w))
+        attn = jax.nn.softmax(attn, axis=-1)
+        x = (attn @ v).reshape(b, self.num_heads, h * w, head_dim)
+        x = x.transpose(0, 2, 1, 3).reshape(b, h, w, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name='proj')(x)
+
+
+def window_partition(x, window: int):
+    b, h, w, c = x.shape
+    pad_h = (window - h % window) % window
+    pad_w = (window - w % window) % window
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    hp, wp = h + pad_h, w + pad_w
+    x = x.reshape(b, hp // window, window, wp // window, window, c)
+    win = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window, window, c)
+    return win, (hp, wp)
+
+
+def window_unpartition(win, window: int, pad_hw, hw):
+    hp, wp = pad_hw
+    h, w = hw
+    b = win.shape[0] // (hp * wp // window // window)
+    x = win.reshape(b, hp // window, wp // window, window, window, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, -1)
+    return x[:, :h, :w]
+
+
+class Block(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int = 14
+    input_size: tuple[int, int] = (64, 64)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        shortcut = x
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name='norm1')(x)
+        if self.window_size > 0:
+            hw = y.shape[1:3]
+            y, pad_hw = window_partition(y, self.window_size)
+            attn_size = (self.window_size, self.window_size)
+        else:
+            attn_size = self.input_size
+        y = Attention(self.dim, self.num_heads, input_size=attn_size,
+                      dtype=self.dtype, name='attn')(y)
+        if self.window_size > 0:
+            y = window_unpartition(y, self.window_size, pad_hw, hw)
+        x = shortcut + y
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name='norm2')(x)
+        y = nn.Dense(self.dim * 4, dtype=self.dtype, name='mlp_lin1')(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.dim, dtype=self.dtype, name='mlp_lin2')(y)
+        return x + y
+
+
+class ImageEncoderViT(nn.Module):
+    img_size: int = 1024
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    out_chans: int = 256
+    window_size: int = 14
+    global_attn_indexes: Sequence[int] = (2, 5, 8, 11)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B, img_size, img_size, 3) preprocessed -> (B, 64, 64, 256)."""
+        grid = self.img_size // self.patch_size
+        x = nn.Conv(self.embed_dim, (self.patch_size, self.patch_size),
+                    strides=(self.patch_size, self.patch_size), padding='VALID',
+                    dtype=self.dtype, name='patch_embed')(x)
+        pos = self.param('pos_embed', nn.initializers.zeros,
+                         (1, grid, grid, self.embed_dim))
+        x = x + pos
+        for i in range(self.depth):
+            x = Block(self.embed_dim, self.num_heads,
+                      window_size=0 if i in self.global_attn_indexes
+                      else self.window_size,
+                      input_size=(grid, grid), dtype=self.dtype,
+                      name=f'block{i}')(x)
+        x = nn.Conv(self.out_chans, (1, 1), use_bias=False, dtype=self.dtype,
+                    name='neck_conv1')(x)
+        x = LayerNorm2d(name='neck_ln1')(x)
+        x = nn.Conv(self.out_chans, (3, 3), padding=[(1, 1)] * 2,
+                    use_bias=False, dtype=self.dtype, name='neck_conv2')(x)
+        x = LayerNorm2d(name='neck_ln2')(x)
+        return x

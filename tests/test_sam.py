@@ -1,0 +1,220 @@
+"""SAM tests: module shapes, everything-mode pipeline mechanics, converter
+key mapping, and region-map packing."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from regda_tpu.models.sam import Sam, SamAutomaticMaskGenerator
+from regda_tpu.models.sam.auto import (build_point_grid, generate_crop_boxes,
+                                       nms_boxes, regions_from_anns)
+from regda_tpu.models.sam.vit import window_partition, window_unpartition
+
+
+@pytest.fixture(scope='module')
+def tiny_sam():
+    model = Sam(vit_config='vit_t', img_size=128)
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0)},
+        jnp.zeros((1, 128, 128, 3)),
+        jnp.zeros((1, 1, 2)), jnp.ones((1, 1), jnp.int32))
+    return model, variables
+
+
+def test_window_partition_roundtrip():
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 30, 30, 8)))
+    win, pad_hw = window_partition(x, 14)
+    assert win.shape == (2 * 3 * 3, 14, 14, 8)
+    back = window_unpartition(win, 14, pad_hw, (30, 30))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+
+def test_encoder_decoder_shapes(tiny_sam):
+    model, variables = tiny_sam
+    emb = model.apply(variables, jnp.zeros((1, 128, 128, 3)),
+                      method=model.encode)
+    assert emb.shape == (1, 8, 8, 256)
+    masks, iou = model.apply(variables, emb,
+                             jnp.zeros((5, 1, 2)), jnp.ones((5, 1), jnp.int32),
+                             method=model.decode_points)
+    assert masks.shape == (5, 3, 32, 32)  # 4x the embedding grid
+    assert iou.shape == (5, 3)
+
+
+def test_point_grid_and_crops():
+    grid = build_point_grid(4)
+    assert grid.shape == (16, 2)
+    assert 0 < grid.min() and grid.max() < 1
+    boxes, layers = generate_crop_boxes((512, 512), 1, 512 / 1500)
+    assert boxes[0] == [0, 0, 512, 512] and layers[0] == 0
+    assert len(boxes) == 5 and set(layers[1:]) == {1}
+    # crops tile the image
+    for x0, y0, x1, y1 in boxes[1:]:
+        assert 0 <= x0 < x1 <= 512 and 0 <= y0 < y1 <= 512
+
+
+def test_nms_boxes():
+    boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11], [20, 20, 30, 30]],
+                     np.float32)
+    scores = np.array([0.9, 0.8, 0.7])
+    keep = nms_boxes(boxes, scores, 0.5)
+    assert list(keep) == [0, 2]
+
+
+def test_regions_from_anns_area_filter():
+    seg1 = np.zeros((64, 64), bool)
+    seg1[:40, :40] = True  # 1600 px >= 1024
+    seg2 = np.zeros((64, 64), bool)
+    seg2[50:60, 50:60] = True  # 100 px < 1024
+    anns = [{'segmentation': seg1, 'area': 1600},
+            {'segmentation': seg2, 'area': 100}]
+    reg = regions_from_anns(anns, (64, 64), 1024)
+    assert reg.dtype == np.int32
+    assert reg[0, 0] == 1 and reg[55, 55] == 0
+
+
+def test_everything_mode_runs(tiny_sam):
+    model, variables = tiny_sam
+    gen = SamAutomaticMaskGenerator(
+        model, variables, points_per_side=4, points_per_batch=8,
+        pred_iou_thresh=-1e9, stability_score_thresh=0.0,
+        crop_n_layers=0, compute_dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    image = rng.integers(0, 255, size=(96, 96, 3)).astype(np.uint8)
+    anns = gen.generate(image)
+    # with no thresholds, NMS output must be non-empty and well-formed
+    assert len(anns) >= 1
+    for a in anns:
+        assert a['segmentation'].shape == (96, 96)
+        assert a['area'] == int(a['segmentation'].sum())
+        assert len(a['bbox']) == 4
+
+
+def test_everything_mode_with_crops(tiny_sam):
+    model, variables = tiny_sam
+    gen = SamAutomaticMaskGenerator(
+        model, variables, points_per_side=4, points_per_batch=8,
+        pred_iou_thresh=-1e9, stability_score_thresh=0.0,
+        crop_n_layers=1, crop_n_points_downscale_factor=2,
+        compute_dtype=jnp.float32)
+    image = np.random.default_rng(2).integers(
+        0, 255, size=(96, 96, 3)).astype(np.uint8)
+    anns = gen.generate(image)
+    assert isinstance(anns, list)
+
+
+def test_converter_roundtrip_keys():
+    """Converter output paths must exactly match the flax tree for vit_t."""
+    from regda_tpu.models.sam.convert import convert_sam_checkpoint
+    model = Sam(vit_config='vit_t', img_size=128)
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0)},
+        jnp.zeros((1, 128, 128, 3)),
+        jnp.zeros((1, 1, 2)), jnp.ones((1, 1), jnp.int32))
+
+    # build a fake torch-style state dict shaped like the official ckpt for
+    # the tiny config
+    def flatten(tree, prefix=()):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                yield from flatten(v, prefix + (k,))
+            else:
+                yield prefix + (k,), v
+
+    flax_paths = {p for p, _ in flatten(variables['params'])}
+
+    state = {}
+    D, HD = 64, 32  # embed_dim, head_dim*heads... (vit_t: 64 dim, 2 heads)
+    win, grid = 14, 8
+    for n in range(2):
+        w = 'image_encoder.blocks.%d' % n
+        state[f'{w}.norm1.weight'] = np.ones(D)
+        state[f'{w}.norm1.bias'] = np.zeros(D)
+        state[f'{w}.norm2.weight'] = np.ones(D)
+        state[f'{w}.norm2.bias'] = np.zeros(D)
+        state[f'{w}.attn.qkv.weight'] = np.zeros((3 * D, D))
+        state[f'{w}.attn.qkv.bias'] = np.zeros(3 * D)
+        state[f'{w}.attn.proj.weight'] = np.zeros((D, D))
+        state[f'{w}.attn.proj.bias'] = np.zeros(D)
+        size = 2 * grid - 1 if n == 1 else 2 * win - 1
+        state[f'{w}.attn.rel_pos_h'] = np.zeros((size, D // 2))
+        state[f'{w}.attn.rel_pos_w'] = np.zeros((size, D // 2))
+        state[f'{w}.mlp.lin1.weight'] = np.zeros((4 * D, D))
+        state[f'{w}.mlp.lin1.bias'] = np.zeros(4 * D)
+        state[f'{w}.mlp.lin2.weight'] = np.zeros((D, 4 * D))
+        state[f'{w}.mlp.lin2.bias'] = np.zeros(D)
+    state['image_encoder.patch_embed.proj.weight'] = np.zeros((D, 3, 16, 16))
+    state['image_encoder.patch_embed.proj.bias'] = np.zeros(D)
+    state['image_encoder.pos_embed'] = np.zeros((1, grid, grid, D))
+    state['image_encoder.neck.0.weight'] = np.zeros((256, D, 1, 1))
+    state['image_encoder.neck.1.weight'] = np.ones(256)
+    state['image_encoder.neck.1.bias'] = np.zeros(256)
+    state['image_encoder.neck.2.weight'] = np.zeros((256, 256, 3, 3))
+    state['image_encoder.neck.3.weight'] = np.ones(256)
+    state['image_encoder.neck.3.bias'] = np.zeros(256)
+    state['prompt_encoder.pe_layer.positional_encoding_gaussian_matrix'] = \
+        np.zeros((2, 128))
+    for i in range(4):
+        state[f'prompt_encoder.point_embeddings.{i}.weight'] = np.zeros((1, 256))
+    state['prompt_encoder.not_a_point_embed.weight'] = np.zeros((1, 256))
+    state['prompt_encoder.no_mask_embed.weight'] = np.zeros((1, 256))
+    md = 'mask_decoder'
+    state[f'{md}.iou_token.weight'] = np.zeros((1, 256))
+    state[f'{md}.mask_tokens.weight'] = np.zeros((4, 256))
+    for n in range(2):
+        base = f'{md}.transformer.layers.{n}'
+        for attn, dim in (('self_attn', 256),
+                          ('cross_attn_token_to_image', 128),
+                          ('cross_attn_image_to_token', 128)):
+            for p in ('q_proj', 'k_proj', 'v_proj'):
+                state[f'{base}.{attn}.{p}.weight'] = np.zeros((dim, 256))
+                state[f'{base}.{attn}.{p}.bias'] = np.zeros(dim)
+            state[f'{base}.{attn}.out_proj.weight'] = np.zeros((256, dim))
+            state[f'{base}.{attn}.out_proj.bias'] = np.zeros(256)
+        for i in range(1, 5):
+            state[f'{base}.norm{i}.weight'] = np.ones(256)
+            state[f'{base}.norm{i}.bias'] = np.zeros(256)
+        state[f'{base}.mlp.lin1.weight'] = np.zeros((2048, 256))
+        state[f'{base}.mlp.lin1.bias'] = np.zeros(2048)
+        state[f'{base}.mlp.lin2.weight'] = np.zeros((256, 2048))
+        state[f'{base}.mlp.lin2.bias'] = np.zeros(256)
+    for p in ('q_proj', 'k_proj', 'v_proj'):
+        state[f'{md}.transformer.final_attn_token_to_image.{p}.weight'] = \
+            np.zeros((128, 256))
+        state[f'{md}.transformer.final_attn_token_to_image.{p}.bias'] = \
+            np.zeros(128)
+    state[f'{md}.transformer.final_attn_token_to_image.out_proj.weight'] = \
+        np.zeros((256, 128))
+    state[f'{md}.transformer.final_attn_token_to_image.out_proj.bias'] = \
+        np.zeros(256)
+    state[f'{md}.transformer.norm_final_attn.weight'] = np.ones(256)
+    state[f'{md}.transformer.norm_final_attn.bias'] = np.zeros(256)
+    state[f'{md}.output_upscaling.0.weight'] = np.zeros((256, 64, 2, 2))
+    state[f'{md}.output_upscaling.0.bias'] = np.zeros(64)
+    state[f'{md}.output_upscaling.1.weight'] = np.ones(64)
+    state[f'{md}.output_upscaling.1.bias'] = np.zeros(64)
+    state[f'{md}.output_upscaling.3.weight'] = np.zeros((64, 32, 2, 2))
+    state[f'{md}.output_upscaling.3.bias'] = np.zeros(32)
+    for n in range(4):
+        for m in range(3):
+            i, o = (256, 256) if m < 2 else (256, 32)
+            state[f'{md}.output_hypernetworks_mlps.{n}.layers.{m}.weight'] = \
+                np.zeros((o, i))
+            state[f'{md}.output_hypernetworks_mlps.{n}.layers.{m}.bias'] = \
+                np.zeros(o)
+    for m in range(3):
+        i, o = (256, 256) if m < 2 else (256, 4)
+        state[f'{md}.iou_prediction_head.layers.{m}.weight'] = np.zeros((o, i))
+        state[f'{md}.iou_prediction_head.layers.{m}.bias'] = np.zeros(o)
+
+    converted = convert_sam_checkpoint(state)
+    conv_paths = {p for p, _ in flatten(converted['params'])}
+    assert conv_paths == flax_paths, (
+        sorted(flax_paths - conv_paths)[:5], sorted(conv_paths - flax_paths)[:5])
+    # shape agreement
+    flax_leaves = dict(flatten(variables['params']))
+    for p, v in flatten(converted['params']):
+        assert np.shape(v) == flax_leaves[p].shape, (p, np.shape(v),
+                                                     flax_leaves[p].shape)
