@@ -32,14 +32,16 @@ MAX_REGIONS = 1024
 
 
 def region_histogram(label_onehot: jnp.ndarray, regions: jnp.ndarray,
-                     num_regions: int = MAX_REGIONS, use_pallas: bool = False
-                     ) -> jnp.ndarray:
+                     num_regions: int = MAX_REGIONS,
+                     use_pallas: bool | None = None) -> jnp.ndarray:
     """(B, N, C) one-hot labels + (B, N) int region ids -> (B, R, C) histogram.
 
     Region ids >= num_regions are clamped into the last bucket (SAM emits
     far fewer regions than the bound in practice).
     """
     regions = jnp.clip(regions, 0, num_regions - 1)
+    if use_pallas is None:  # auto: MXU kernel on TPU, XLA scatter elsewhere
+        use_pallas = jax.default_backend() == 'tpu'
     if use_pallas:
         from regda_tpu.ops.pallas.segment_hist import segment_hist_pallas
         return segment_hist_pallas(label_onehot, regions, num_regions)
@@ -52,7 +54,7 @@ def region_histogram(label_onehot: jnp.ndarray, regions: jnp.ndarray,
 def homogenize(pseudo_labels: jnp.ndarray, regions: jnp.ndarray,
                percent: float = 0.5, num_classes: int = 6,
                ignore_label: int = -1, num_regions: int = MAX_REGIONS,
-               use_pallas: bool = False) -> jnp.ndarray:
+               use_pallas: bool | None = None) -> jnp.ndarray:
     """LRH forward. pseudo_labels (B, H, W) int, regions (B, H, W) int.
 
     Returns refined (B, H, W) int32 labels.
