@@ -1,0 +1,145 @@
+"""SLIC superpixels as a jit-compiled JAX kernel.
+
+Functional replacement for the reference's OpenCV/skimage superpixel stack
+(regda/gast/superpixels.py:49-152 `SuperPixelsLSC`/`edge_shrinking`,
+regda/gast/slic/superpixel.py:66-158 `SLIC.get_Q_and_S_and_Segments`/`get_A`),
+which this environment cannot run (no opencv-contrib ximgproc, no skimage)
+and which would be host-bound anyway.
+
+TPU-first redesign: classic SLIC is k-means over (Lab, xy) with a locality
+constraint. Here each pixel considers exactly the 9 clusters of its 3x3
+grid neighborhood (static candidate set, the standard vectorized-SLIC
+trick), so one iteration is: gather 9 centers -> fused distance argmin ->
+segment-sum center update. Everything is static-shape, batches over tiles
+with vmap, and runs under jit on TPU. Label connectivity is not enforced
+(the grid-local candidate set already bounds fragment size to one cell;
+downstream LRH treats region ids generically).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def srgb_to_lab(rgb: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3) sRGB in [0,1] -> CIELAB (D65)."""
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+    lin = jnp.where(rgb <= 0.04045, rgb / 12.92,
+                    ((rgb + 0.055) / 1.055) ** 2.4)
+    m = jnp.array([[0.4124564, 0.3575761, 0.1804375],
+                   [0.2126729, 0.7151522, 0.0721750],
+                   [0.0193339, 0.1191920, 0.9503041]], rgb.dtype)
+    xyz = lin @ m.T
+    white = jnp.array([0.95047, 1.0, 1.08883], rgb.dtype)
+    t = xyz / white
+    f = jnp.where(t > (6 / 29) ** 3, jnp.cbrt(t),
+                  t / (3 * (6 / 29) ** 2) + 4 / 29)
+    l = 116 * f[..., 1] - 16
+    a = 500 * (f[..., 0] - f[..., 1])
+    b = 200 * (f[..., 1] - f[..., 2])
+    return jnp.stack([l, a, b], axis=-1)
+
+
+@partial(jax.jit, static_argnames=('region_size', 'compactness', 'iterations'))
+def slic(image: jnp.ndarray, region_size: int = 16,
+         compactness: float = 10.0, iterations: int = 10) -> jnp.ndarray:
+    """SLIC labels for one (H, W, 3) image in [0, 1].
+
+    H and W must be multiples of region_size (true for 512/1024 tiles with
+    the reference's region_size=16). Returns (H, W) int32 labels in
+    [0, (H/S)*(W/S)).
+    """
+    h, w, _ = image.shape
+    s = region_size
+    gh, gw = h // s, w // s
+    n_sup = gh * gw
+
+    lab = srgb_to_lab(image)
+    ys, xs = jnp.mgrid[0:h, 0:w].astype(image.dtype)
+    # feature = (l, a, b, m/S * x, m/S * y): spatial term folds the
+    # compactness weight so the distance is one fused squared-diff sum.
+    spatial_scale = compactness / s
+    feats = jnp.concatenate(
+        [lab, (xs * spatial_scale)[..., None], (ys * spatial_scale)[..., None]],
+        axis=-1)                                                   # (H, W, 5)
+
+    # initial centers: mean feature of each grid cell
+    cell = feats.reshape(gh, s, gw, s, 5).mean(axis=(1, 3))        # (gh, gw, 5)
+    centers0 = cell.reshape(n_sup, 5)
+
+    # static 3x3 grid-neighborhood candidate ids per pixel
+    gy = (ys[:, :, None].astype(jnp.int32) // s
+          + jnp.array([-1, -1, -1, 0, 0, 0, 1, 1, 1]))             # (H, W, 9)
+    gx = (xs[:, :, None].astype(jnp.int32) // s
+          + jnp.array([-1, 0, 1, -1, 0, 1, -1, 0, 1]))
+    in_grid = ((gy >= 0) & (gy < gh) & (gx >= 0) & (gx < gw))
+    cand = (jnp.clip(gy, 0, gh - 1) * gw + jnp.clip(gx, 0, gw - 1))  # (H, W, 9)
+
+    def assign(centers):
+        c = centers[cand]                                           # (H, W, 9, 5)
+        d = ((c - feats[:, :, None, :]) ** 2).sum(-1)
+        d = jnp.where(in_grid, d, jnp.inf)
+        k = d.argmin(-1)
+        return jnp.take_along_axis(cand, k[..., None], axis=-1)[..., 0]
+
+    def body(_, centers):
+        labels = assign(centers)
+        flat = labels.reshape(-1)
+        sums = jax.ops.segment_sum(feats.reshape(-1, 5), flat,
+                                   num_segments=n_sup)
+        cnts = jax.ops.segment_sum(jnp.ones((h * w, 1), feats.dtype), flat,
+                                   num_segments=n_sup)
+        return jnp.where(cnts > 0, sums / jnp.maximum(cnts, 1.0), centers)
+
+    centers = jax.lax.fori_loop(0, iterations, body, centers0)
+    return assign(centers).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=('win_size', 'fill'))
+def edge_shrink(labels: jnp.ndarray, win_size: int = 3,
+                fill: int | None = None) -> jnp.ndarray:
+    """Mark pixels within `win_size` of a superpixel boundary as invalid.
+
+    Parity: regda/gast/superpixels.py:129-152 (`edge_shrinking`), which scans
+    a (2w+1)^2 window per pixel in Python. Here: a pixel is kept iff the
+    window's label max == min (uniform window), via two `reduce_window`
+    passes. Invalid pixels get `fill` (default: max label + 1, the
+    reference's `cnt_sup`).
+    """
+    k = 2 * win_size + 1
+    lab = labels.astype(jnp.int32)
+    mx = jax.lax.reduce_window(lab, jnp.iinfo(jnp.int32).min, jax.lax.max,
+                               (k, k), (1, 1), 'SAME')
+    mn = jax.lax.reduce_window(lab, jnp.iinfo(jnp.int32).max, jax.lax.min,
+                               (k, k), (1, 1), 'SAME')
+    keep = mx == mn
+    fill_val = (lab.max() + 1) if fill is None else jnp.int32(fill)
+    return jnp.where(keep, lab, fill_val)
+
+
+def superpixel_stats(labels: jnp.ndarray, feats: jnp.ndarray,
+                     n_segments: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Mean feature per superpixel + pixel counts.
+
+    Functional analog of the reference's Q (one-hot assignment) and S
+    (superpixel features) matrices (gast/slic/superpixel.py:83-131), kept as
+    a segment-sum instead of materializing the (H*W, n_sup) Q.
+    Returns (S (n_segments, K), counts (n_segments,)).
+    """
+    flat = labels.reshape(-1)
+    f = feats.reshape(-1, feats.shape[-1])
+    sums = jax.ops.segment_sum(f, flat, num_segments=n_segments)
+    cnts = jax.ops.segment_sum(jnp.ones_like(flat, f.dtype), flat,
+                               num_segments=n_segments)
+    return sums / jnp.maximum(cnts, 1.0)[:, None], cnts
+
+
+def adjacency(s_feats: jnp.ndarray, sigma: float = 10.0) -> jnp.ndarray:
+    """Gaussian similarity graph over superpixel features with self-loops
+    (gast/slic/superpixel.py:133-158 `get_A`, dense-vectorized)."""
+    d2 = ((s_feats[:, None] - s_feats[None]) ** 2).sum(-1)
+    a = jnp.exp(-d2 / sigma ** 2)
+    return jnp.fill_diagonal(a, 1.0, inplace=False)
