@@ -21,6 +21,7 @@ from regda_tpu.infer import SegInferencer
 from regda_tpu.parallel import make_mesh, replicated_sharding, shard_batch
 from regda_tpu.utils.checkpoint import save_pytree
 from regda_tpu.utils.eval import evaluate
+from regda_tpu.utils.profiling import StepTimer, trace_window
 
 
 class Trainer:
@@ -32,6 +33,14 @@ class Trainer:
         self.state = state
         self.meta = get_meta(cfg.DATASETS)
         batch_size = cfg.SOURCE_DATA_CONFIG.get('batch_size', 1)
+        self.timer = StepTimer(items_per_step=batch_size)
+        # profile 5 steps starting at REGDA_PROFILE_START (default 10) into
+        # SNAPSHOT_DIR/trace when enabled via cfg.PROFILE=1 or
+        # REGDA_PROFILE=1 (the reference has no tracing; SURVEY.md §5)
+        self._profile = bool(getattr(cfg, 'PROFILE', 0)
+                             or os.environ.get('REGDA_PROFILE'))
+        self._profile_start = int(os.environ.get('REGDA_PROFILE_START', 10))
+        self._trace_ctx = None
         n_dev = jax.device_count()
         # largest device count that evenly shards the batch
         n_data = max(d for d in range(1, n_dev + 1) if batch_size % d == 0)
@@ -50,18 +59,30 @@ class Trainer:
             return shard_batch(self.mesh, arrays)
         return {k: jax.device_put(v) for k, v in arrays.items()}
 
-    def run_step(self, **arrays):
+    def run_step(self, i_iter: int = -1, **arrays):
+        if self._profile:
+            if i_iter == self._profile_start:
+                self._trace_ctx = trace_window(
+                    os.path.join(self.cfg.SNAPSHOT_DIR, 'trace'))
+                self._trace_ctx.__enter__()
+            elif (i_iter == self._profile_start + 5
+                  and self._trace_ctx is not None):
+                self._trace_ctx.__exit__(None, None, None)
+                self._trace_ctx = None
+        self.timer.start()
         # note: jax.tree.map canonicalizes dict key order, so index by the
         # caller's keyword order rather than iterating b.values()
         b = self.put_batch(**arrays)
         self.state, metrics = self.step_fn(self.state,
                                            *(b[k] for k in arrays))
+        self.timer.stop()
         return metrics
 
     def maybe_log(self, i_iter: int, metrics: dict, extra: str = ''):
         if i_iter == 0 or (i_iter + 1) % 50 == 0:
             parts = [f'iter={i_iter + 1}']
             parts += [f'{k}={float(v):.3f}' for k, v in metrics.items()]
+            parts.append(self.timer.summary())
             lr_line = ', '.join(parts)
             self.logger.info(lr_line + (f', {extra}' if extra else ''))
 

@@ -1,0 +1,145 @@
+"""Tests for weights EMA, pseudo-label analysis, classvis, and profiling
+hooks (SURVEY.md §2.5 / §5 aux subsystems)."""
+
+import math
+import os
+
+import numpy as np
+import imageio.v2 as iio
+
+import jax
+import jax.numpy as jnp
+
+from regda_tpu.analysis import (analysis_pseudo_labels, class_distribution,
+                                da_class_bar, tile_bin_stats)
+from regda_tpu.utils.ema import ema_apply_shadow, ema_register, ema_update
+from regda_tpu.utils.profiling import StepTimer, annotate, trace_window
+
+
+# ---------------------------------------------------------------------------
+# weights EMA
+# ---------------------------------------------------------------------------
+
+def test_ema_update_matches_reference_formula():
+    params = {'w': jnp.ones((3,)), 'b': jnp.zeros((2,))}
+    state = ema_register(params)
+    new_params = {'w': jnp.full((3,), 3.0), 'b': jnp.ones((2,))}
+    state = ema_update(state, new_params, decay=0.9)
+    # shadow = 0.9 * old + 0.1 * new (ema.py:49-50)
+    np.testing.assert_allclose(np.asarray(state.shadow['w']), 1.2, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(state.shadow['b']), 0.1, rtol=1e-6)
+    shadow, backup = ema_apply_shadow(state, new_params)
+    assert shadow is state.shadow and backup is new_params
+
+
+def test_ema_update_jits():
+    params = {'w': jnp.ones((4, 4))}
+    state = ema_register(params)
+    fn = jax.jit(lambda s, p: ema_update(s, p, 0.99))
+    out = fn(state, params)
+    np.testing.assert_allclose(np.asarray(out.shadow['w']), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# pseudo-label bin statistics
+# ---------------------------------------------------------------------------
+
+def test_tile_bin_stats_confident_correct():
+    # near-one-hot probs matching gt -> all used pixels land in low-entropy
+    # bins and are correct
+    c, h, w = 4, 8, 8
+    rng = np.random.RandomState(0)
+    gt = rng.randint(0, c, (h, w))
+    probs = np.full((h, w, c), 0.01, np.float32)
+    probs[np.arange(h)[:, None], np.arange(w)[None], gt] = 0.97
+    stats = tile_bin_stats(jnp.asarray(probs), jnp.asarray(gt), c,
+                           range_cnt=10)
+    cnt_used = np.asarray(stats['cnt_used'])
+    cnt_true = np.asarray(stats['cnt_true'])
+    assert cnt_used.sum() == h * w
+    np.testing.assert_allclose(cnt_true, cnt_used)   # all correct
+    assert cnt_used[:3].sum() == h * w               # low-entropy bins only
+
+
+def test_tile_bin_stats_uniform_probs_unused():
+    c, h, w = 4, 8, 8
+    probs = np.full((h, w, c), 1.0 / c, np.float32)
+    gt = np.zeros((h, w), np.int64)
+    stats = tile_bin_stats(jnp.asarray(probs), jnp.asarray(gt), c,
+                           range_cnt=10)
+    # uniform probs never pass pseudo_selection; max entropy = log(C) bin
+    assert np.asarray(stats['cnt_used']).sum() == 0
+    assert np.asarray(stats['diffi'])[-1] > 0.7     # difficulty 1 - 1/C
+
+
+def test_analysis_pseudo_labels_end_to_end(tmp_path):
+    c, h, w = 4, 16, 16
+    lbl_dir = str(tmp_path / 'ann')
+    psd_dir = str(tmp_path / 'pseudo')
+    out_dir = str(tmp_path / 'plots')
+    os.makedirs(lbl_dir)
+    os.makedirs(psd_dir)
+    rng = np.random.RandomState(1)
+    for i in range(2):
+        gt = rng.randint(0, c, (h, w)).astype(np.uint8)
+        iio.imwrite(os.path.join(lbl_dir, f't{i}.png'), gt)
+        probs = np.full((h, w, c), 0.02, np.float32)
+        probs[np.arange(h)[:, None], np.arange(w)[None], gt] = 0.94
+        np.save(os.path.join(psd_dir, f't{i}.npy'), probs)
+    res = analysis_pseudo_labels(lbl_dir, psd_dir, n_classes=c, range_cnt=20,
+                                 out_dir=out_dir)
+    assert res['cnt_used'].sum() == 2 * h * w
+    for f in ('tradeoff.png', 'noise_rate.png', 'counts.png'):
+        assert os.path.getsize(os.path.join(out_dir, f)) > 0
+
+
+# ---------------------------------------------------------------------------
+# class distribution bars
+# ---------------------------------------------------------------------------
+
+def test_class_distribution_and_bar(tmp_path):
+    d1 = str(tmp_path / 'a')
+    d2 = str(tmp_path / 'b')
+    os.makedirs(d1)
+    os.makedirs(d2)
+    iio.imwrite(os.path.join(d1, 'm.png'),
+                np.array([[0, 0], [1, 2]], np.uint8))
+    iio.imwrite(os.path.join(d2, 'm.png'),
+                np.array([[2, 2], [2, 1]], np.uint8))
+    v1 = class_distribution(d1, 3)
+    np.testing.assert_allclose(v1, [0.5, 0.25, 0.25])
+    out = str(tmp_path / 'bar.png')
+    r1, r2 = da_class_bar(d1, d2, ['bg', 'a', 'b'], out)
+    assert os.path.getsize(out) > 0
+    np.testing.assert_allclose(r2, [0.0, 0.25, 0.75])
+
+
+# ---------------------------------------------------------------------------
+# profiling hooks
+# ---------------------------------------------------------------------------
+
+def test_step_timer():
+    t = StepTimer(items_per_step=8)
+    for _ in range(3):
+        t.start()
+        t.stop()
+    assert t.ema is not None and t.steps_per_sec > 0
+    assert 'ms/step' in t.summary()
+
+
+def test_trace_window_noop_and_annotate():
+    with trace_window(None):      # no log dir -> no-op
+        with annotate('step'):
+            x = jnp.ones((4,)) + 1
+    assert float(x.sum()) == 8.0
+
+
+def test_trace_window_writes_trace(tmp_path):
+    d = str(tmp_path / 'trace')
+    with trace_window(d):
+        jnp.ones((16, 16)).sum().block_until_ready()
+    # a plugins/profile dir with at least one capture should exist
+    found = []
+    for root, _, files in os.walk(d):
+        found += files
+    assert found, 'no profiler artifacts written'

@@ -99,6 +99,7 @@ def main():
         bs = source_iter.next()
         bt = target_iter.next()
         metrics = trainer.run_step(
+            i_iter=i_iter,
             images_s=bs['image'], label_s=bs['cls'].astype(np.int32),
             images_t=bt['image'], regs_t=bt['sup'].astype(np.int32))
         trainer.maybe_log(i_iter, metrics)

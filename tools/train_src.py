@@ -56,8 +56,9 @@ def main():
         from regda_tpu.utils.checkpoint import load_pytree
         variables = load_pytree(args.pretrained_ckpt)
         logger.info(f'loaded init from {args.pretrained_ckpt}')
+    crop = getattr(cfg, 'CROP_SIZE', 512)
     size = meta.size if cfg.SOURCE_DATA_CONFIG.get('transforms') is None \
-        else (512, 512)
+        else (crop, crop)
     state = create_train_state(model, tx, jax.random.PRNGKey(2333),
                                input_shape=(1, *size, 3),
                                num_classes=meta.num_classes,
@@ -83,6 +84,7 @@ def main():
         bs = source_iter.next()
         bt = target_iter.next()
         metrics = trainer.run_step(
+            i_iter=i_iter,
             images_s=bs['image'], label_s=bs['cls'].astype(np.int32),
             images_t=bt['image'])
         trainer.maybe_log(i_iter, metrics)

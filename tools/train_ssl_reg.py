@@ -119,6 +119,7 @@ def main():
         bs = source_iter.next()
         bt = target_iter.next()
         metrics = trainer.run_step(
+            i_iter=i_iter,
             images_s=bs['image'], label_s=bs['cls'].astype(np.int32),
             images_t=bt['image'],
             label_t_prob=bt['cls'].astype(np.float32),
