@@ -47,6 +47,7 @@ class DALoader:
         self.batch_size = config.get('batch_size', 1)
         self.training = config.get('training', False)
         self.num_workers = config.get('num_workers', 4)
+        self.native = config.get('native', True)
         self.drop_last = True if self.training else False
         self.seed = seed
         self._epoch = 0
@@ -73,11 +74,28 @@ class DALoader:
             return self.dataset.__getitem__(
                 int(idx[i]), rng=np.random.default_rng(int(rng_seeds[i])))
 
+        def make_batch(lo, hi, pool=None):
+            # native fast path: whole batch decoded + augmented in C++,
+            # bit-identical to the Python path (same RNG decisions)
+            if self.native:
+                from regda_tpu.datasets.native_pipeline import try_native_batch
+                rngs = [np.random.default_rng(int(rng_seeds[i]))
+                        for i in range(lo, hi)]
+                out = try_native_batch(
+                    self.dataset, [int(idx[i]) for i in range(lo, hi)], rngs,
+                    nthreads=max(self.num_workers, 1))
+                if out is not None:
+                    return out
+            if pool is not None:
+                futs = [pool.submit(fetch, i) for i in range(lo, hi)]
+                return _collate([f.result() for f in futs])
+            return _collate([fetch(i) for i in range(lo, hi)])
+
         if self.num_workers <= 0:
             for b in range(nb):
                 lo = b * self.batch_size
                 hi = min(lo + self.batch_size, len(idx))
-                yield _collate([fetch(i) for i in range(lo, hi)])
+                yield make_batch(lo, hi)
             return
 
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
@@ -91,8 +109,7 @@ class DALoader:
                             return
                         lo = b * self.batch_size
                         hi = min(lo + self.batch_size, len(idx))
-                        futs = [pool.submit(fetch, i) for i in range(lo, hi)]
-                        q.put(_collate([f.result() for f in futs]))
+                        q.put(make_batch(lo, hi, pool))
                 finally:
                     q.put(None)
 
