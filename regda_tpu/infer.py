@@ -60,3 +60,34 @@ class SegInferencer:
 
     def update_variables(self, variables):
         self.variables = jax.device_put(variables)
+
+
+    def predict_multiscale(self, images: np.ndarray,
+                           scales=(0.75, 1.0, 1.25, 1.5, 1.75, 2.0),
+                           tta: bool = False) -> np.ndarray:
+        """Multi-scale whole-image inference: resize by each scale, predict,
+        upsample probabilities back, average (reference
+        regda/utils/tools.py:99-128 `predict_whole`/`predict_multiscale`,
+        align_corners=True). Each scale is one cached jit call.
+
+        images: (B, H, W, 3) normalized float32 -> (B, H, W, C) mean probs.
+        """
+        from regda_tpu.ops.resize import resize_bilinear_align_corners
+        b, h, w, _ = images.shape
+        x = jnp.asarray(images)
+        total = None
+        for scale in scales:
+            sh, sw = int(round(h * scale)), int(round(w * scale))
+            key = ('ms', b, sh, sw, tta)
+            if key not in self._cache:
+                def fn(variables, img, sh=sh, sw=sw):
+                    scaled = resize_bilinear_align_corners(img, (sh, sw))
+                    apply = lambda t: self.model.apply(variables, t,
+                                                       train=False)
+                    probs = tta_apply(apply, scaled) if tta else apply(scaled)
+                    return resize_bilinear_align_corners(
+                        probs.astype(jnp.float32), (h, w))
+                self._cache[key] = jax.jit(fn)
+            p = self._cache[key](self.variables, x)
+            total = p if total is None else total + p
+        return np.asarray(total / len(scales))

@@ -87,3 +87,22 @@ def count_model_parameters(params, logger=None) -> int:
     if logger is not None:
         logger.info('#params: {}, {} M'.format(cnt, round(cnt / 1e6, 3)))
     return cnt
+
+
+class AverageMeter:
+    """Running average tracker (reference regda/utils/tools.py:432-451)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val, n: int = 1):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / max(self.count, 1)

@@ -151,3 +151,34 @@ def test_evaluate_end_to_end(synthetic_isprs, tmp_path):
     # viz PNGs written
     vis = os.path.join(cfg.SNAPSHOT_DIR, 'vis-fake.ckpt')
     assert len(os.listdir(vis)) == 3
+
+
+def test_pseudo_selection1_variant():
+    """Argmax-class selection (pseudo_generation.py:24-56): pixels below the
+    argmax class's threshold become ignore."""
+    import numpy as np
+    import jax.numpy as jnp
+    from regda_tpu.ops.pseudo import pseudo_selection1
+    probs = np.full((1, 2, 2, 3), 0.1, np.float32)
+    probs[0, 0, 0] = [0.9, 0.05, 0.05]   # confident class 0
+    probs[0, 0, 1] = [0.5, 0.3, 0.2]     # class 0 but 0.5 < 0.9*0.8 -> ignore
+    probs[0, 1, 0] = [0.1, 0.65, 0.25]   # class 1: thr max(0.65*0.8, 0.6)=0.6
+    probs[0, 1, 1] = [0.2, 0.2, 0.61]    # class 2: 0.61 > max(0.61*.8,.6)? yes
+    out = np.asarray(pseudo_selection1(jnp.asarray(probs)))
+    assert out[0, 0, 0] == 0 and out[0, 0, 1] == -1
+    assert out[0, 1, 0] == 1 and out[0, 1, 1] == 2
+
+
+def test_predict_multiscale():
+    import numpy as np
+    from regda_tpu.models import build_deeplabv2
+    from regda_tpu.infer import SegInferencer
+    model = build_deeplabv2('resnet18', num_classes=6)
+    variables = model.init({'params': jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    inferencer = SegInferencer(model, variables, num_classes=6)
+    images = np.random.default_rng(0).normal(
+        size=(1, 64, 64, 3)).astype(np.float32)
+    probs = inferencer.predict_multiscale(images, scales=(0.75, 1.0))
+    assert probs.shape[:3] == images.shape[:3]
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-4)
