@@ -138,3 +138,29 @@ def test_poly_warmup_lr():
     assert lr0 == 0.0
     assert lr100 == pytest.approx(1e-2 * 100 / 200)
     assert lr300 == pytest.approx(1e-2 * (1 - 300 / 6000) ** 0.9, rel=1e-5)
+
+
+def test_label_refine_superpixel_view():
+    """Superpixel branch (alignment.py:239-258): within a superpixel every
+    pixel gets the region's per-class max prob as its weight; the max-id
+    region is exempt."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from regda_tpu.ops.refine import superpixel_weight, label_refine
+
+    b, h, w, c = 1, 4, 4, 3
+    rng = np.random.RandomState(0)
+    soft = jax.nn.softmax(jnp.asarray(rng.randn(b, h, w, c), jnp.float32), -1)
+    sup = np.zeros((b, h, w), np.int32)
+    sup[0, :, 2:] = 1
+    sup[0, 3, 3] = 2          # max id -> ignored pixel
+    wgt, ignored = superpixel_weight(soft, jnp.asarray(sup), num_sup=3)
+    # constant weight within superpixel 0
+    w0 = np.asarray(wgt)[0][np.asarray(sup)[0] == 0]
+    np.testing.assert_allclose(w0, np.broadcast_to(w0[0], w0.shape), rtol=1e-5)
+    assert bool(np.asarray(ignored)[0, 3, 3, 0])
+    # mode 's': ignored pixel keeps the raw label, others renormalized
+    out = label_refine(None, None, soft, None, mode='s',
+                       sup_ids=jnp.asarray(sup), num_sup=3)
+    np.testing.assert_allclose(np.asarray(out.sum(-1)), 1.0, rtol=1e-5)
