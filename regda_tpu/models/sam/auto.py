@@ -191,16 +191,62 @@ class SamAutomaticMaskGenerator:
             self._jits['decode'] = jax.jit(dec)
         return self._jits['decode']
 
+    def _decode_all_fn(self, n_pts: int):
+        """One jit over the whole point grid: scan decode chunks on device,
+        filter by IoU/stability on device, keep the FIRST `mask_budget`
+        passing masks (point order, matching the chunked host loop), and
+        return only the selected low-res logits + scalars. One host
+        transfer of (budget, 256, 256) instead of (P, 3, 256, 256) per-chunk
+        streams — the dominant tunnel cost of everything-mode."""
+        key = ('decode_all', n_pts)
+        if key not in self._jits:
+            pb = self.points_per_batch
+            budget = self.mask_budget
+            t_iou, t_st = self.pred_iou_thresh, self.stability_score_thresh
+            decode_chunk = self._decode_fn()
+
+            def dec_all(variables, embedding, points, valid_pts):
+                """points: (n_pts, 2) padded; valid_pts: (n_pts,) bool."""
+                pts = points.reshape(-1, pb, 2)
+
+                def body(carry, chunk):
+                    masks, iou, stab = decode_chunk(variables, embedding,
+                                                    chunk)
+                    return carry, (masks, iou, stab)
+
+                _, (masks, iou, stab) = jax.lax.scan(body, 0, pts)
+                n = n_pts * 3
+                masks = masks.reshape(n, *masks.shape[-2:])
+                iou = iou.reshape(n)
+                stab = stab.reshape(n)
+                ok = (jnp.repeat(valid_pts, 3) & (iou > t_iou)
+                      & (stab >= t_st))
+                # first-`budget`-in-order selection via a rank score that
+                # decreases with index; invalid entries rank last
+                score = jnp.where(ok, jnp.arange(n, 0, -1, dtype=jnp.float32),
+                                  0.0)
+                _, sel = jax.lax.top_k(score, min(budget, n))  # asc. index
+                return masks[sel], iou[sel], ok[sel]
+
+            self._jits[key] = jax.jit(dec_all)
+        return self._jits[key]
+
     def _upscale_fn(self, out_hw):
         key = ('upscale', out_hw)
         if key not in self._jits:
             from regda_tpu.ops.resize import resize_bilinear_half_pixel
 
             def ups(logits):
-                """(M, 256, 256) low-res logits -> bool masks (M, H, W)."""
+                """(M, 256, 256) low-res logits -> bit-packed masks
+                (M, H, W // 8) uint8 (8x smaller host transfer; unpack with
+                np.unpackbits)."""
                 x = logits[..., None]
                 x = resize_bilinear_half_pixel(x, out_hw)[..., 0]
-                return x > 0.0
+                bits = (x > 0.0).astype(jnp.uint8)
+                m, h, w = bits.shape
+                weights = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+                return (bits.reshape(m, h, w // 8, 8)
+                        * weights).sum(-1).astype(jnp.uint8)
 
             self._jits[key] = jax.jit(ups)
         return self._jits[key]
@@ -231,42 +277,28 @@ class SamAutomaticMaskGenerator:
         # to 1024-resized-crop coordinates
         pts_input = grid * np.array([nw, nh], np.float32)
 
-        decode = self._decode_fn()
-        keep_logits, keep_iou, keep_pts = [], [], []
         pb = self.points_per_batch
         n_pts = pts_input.shape[0]
         pad = (-n_pts) % pb
         pts_padded = np.concatenate(
             [pts_input, np.zeros((pad, 2), np.float32)], axis=0)
-        for i in range(0, len(pts_padded), pb):
-            chunk = jnp.asarray(pts_padded[i:i + pb])
-            masks, iou, stability = decode(self.variables, embedding, chunk)
-            iou_np = np.asarray(iou).ravel()
-            st_np = np.asarray(stability).ravel()
-            valid = np.ones_like(iou_np, bool)
-            if i + pb > n_pts:  # mask out padded points
-                valid_pts = np.zeros((pb, 3), bool)
-                valid_pts[:n_pts - i] = True
-                valid = valid_pts.ravel()
-            sel = valid & (iou_np > self.pred_iou_thresh) \
-                & (st_np >= self.stability_score_thresh)
-            if sel.any():
-                flat = np.asarray(masks.reshape(-1, *masks.shape[-2:]))
-                keep_logits.append(flat[sel])
-                keep_iou.append(iou_np[sel])
-        if not keep_logits:
+        valid_pts = np.arange(len(pts_padded)) < n_pts
+        # whole grid in ONE jit: decode + filter + first-budget selection on
+        # device; only the selected logits/scalars come back
+        sel_logits, sel_iou, sel_ok = self._decode_all_fn(len(pts_padded))(
+            self.variables, embedding, jnp.asarray(pts_padded),
+            jnp.asarray(valid_pts))
+        ok = np.asarray(sel_ok)
+        if not ok.any():
             return [], np.zeros((0, 4)), np.zeros((0,))
-        logits = np.concatenate(keep_logits)[:self.mask_budget]
-        ious = np.concatenate(keep_iou)[:self.mask_budget]
+        ious = np.asarray(sel_iou)[ok]
 
-        # upscale surviving logits to the crop size (through the 1024 frame:
-        # the crop occupies [:nh,:nw] of the padded 1024 square)
+        # upscale the selected logits to the 1024 frame on device; transfer
+        # bit-packed (budget, 1024, 128) uint8 and unpack on host
         ups = self._upscale_fn((self.img_size, self.img_size))
-        pad_m = (-len(logits)) % 8 or 0
-        logits_j = jnp.asarray(np.concatenate(
-            [logits, np.zeros((pad_m, *logits.shape[1:]), logits.dtype)])
-            if pad_m else logits)
-        masks_full = np.asarray(ups(logits_j))[:len(logits), :nh, :nw]
+        packed = np.asarray(ups(sel_logits))
+        masks_all = np.unpackbits(packed, axis=-1).astype(bool)
+        masks_full = masks_all[ok][:, :nh, :nw]
         # resize to crop resolution
         if (nh, nw) != (ch, cw):
             masks_crop = np.stack([
