@@ -41,7 +41,9 @@ def region_histogram(label_onehot: jnp.ndarray, regions: jnp.ndarray,
     """
     regions = jnp.clip(regions, 0, num_regions - 1)
     if use_pallas is None:  # auto: MXU kernel on TPU, XLA scatter elsewhere
-        use_pallas = jax.default_backend() == 'tpu'
+        import os
+        use_pallas = (jax.default_backend() == 'tpu'
+                      and not os.environ.get('REGDA_NO_PALLAS'))
     if use_pallas:
         from regda_tpu.ops.pallas.segment_hist import segment_hist_pallas
         return segment_hist_pallas(label_onehot, regions, num_regions)
