@@ -371,3 +371,140 @@ def regions_from_anns(anns: list[dict], size, area_threshold: int = 1024
         if ann['area'] >= area_threshold:
             mask[ann['segmentation']] = i + 1
     return mask
+
+
+class SamRegionGenerator(SamAutomaticMaskGenerator):
+    """Device-resident everything-mode for region-map production.
+
+    `generate()` above keeps API parity with segment-anything (ann dicts
+    with full-res bool masks) but must download every mask — prohibitive
+    when the accelerator sits behind a slow host link (measured ~5-15 MB/s
+    on this machine's tunneled TPU). This subclass computes boxes/areas on
+    device, runs the (tiny) greedy NMS on host scalars, then paints the
+    int32 region map ON DEVICE and downloads only the final (H, W) map —
+    per 512-tile: ~KBs of scalars + one ~1 MB map instead of ~0.25 GB of
+    masks. Region contents match `generate()` + `regions_from_anns` up to
+    mask-resize rounding; region ids come out in NMS score order (ids are
+    arbitrary labels for LRH either way).
+    """
+
+    # --------------------------------------------------------- jit pieces
+    def _mask_stats_fn(self, key_hw):
+        """(budget, 256, 256) logits -> (masks1024 bool, boxes, areas) with
+        boxes/areas scaled to the crop pixel frame."""
+        key = ('mask_stats', key_hw)
+        if key not in self._jits:
+            from regda_tpu.ops.resize import resize_bilinear_half_pixel
+            nh, nw, ch, cw = key_hw
+            size = self.img_size
+
+            def stats(logits):
+                x = resize_bilinear_half_pixel(logits[..., None],
+                                               (size, size))[..., 0]
+                masks = x > 0.0                                   # (M, S, S)
+                m = masks[:, :nh, :nw]
+                rows = m.any(axis=2)                              # (M, nh)
+                cols = m.any(axis=1)                              # (M, nw)
+                ys = jnp.arange(nh)
+                xs = jnp.arange(nw)
+                y0 = jnp.min(jnp.where(rows, ys, nh), axis=1)
+                y1 = jnp.max(jnp.where(rows, ys, -1), axis=1) + 1
+                x0 = jnp.min(jnp.where(cols, xs, nw), axis=1)
+                x1 = jnp.max(jnp.where(cols, xs, -1), axis=1) + 1
+                sy, sx = ch / nh, cw / nw
+                boxes = jnp.stack([x0 * sx, y0 * sy, x1 * sx, y1 * sy], 1)
+                areas = m.sum(axis=(1, 2)) * (sy * sx)
+                return masks, boxes.astype(jnp.float32), areas
+            self._jits[key] = jax.jit(stats)
+        return self._jits[key]
+
+    def _paint_fn(self, paint_key):
+        """Max-paint ids into the canvas region covered by one crop."""
+        key = ('paint', paint_key)
+        if key not in self._jits:
+            nh, nw, x0, y0, ch, cw = paint_key
+
+            def paint(canvas, masks, ids):
+                # nearest resize of masks[:, :nh, :nw] -> (M, ch, cw)
+                yi = ((jnp.arange(ch) + 0.5) * nh / ch).astype(jnp.int32)
+                xi = ((jnp.arange(cw) + 0.5) * nw / cw).astype(jnp.int32)
+                m = masks[:, yi][:, :, xi]                        # (M, ch, cw)
+                contrib = jnp.max(
+                    m * ids[:, None, None].astype(jnp.int32), axis=0)
+                region = jax.lax.dynamic_slice(canvas, (y0, x0), (ch, cw))
+                return jax.lax.dynamic_update_slice(
+                    canvas, jnp.maximum(region, contrib), (y0, x0))
+            self._jits[key] = jax.jit(paint)
+        return self._jits[key]
+
+    # ------------------------------------------------------------ pipeline
+    def _crop_device(self, image_np, crop_box, layer_idx):
+        """Everything-mode for one crop; masks stay on device."""
+        x0, y0, x1, y1 = crop_box
+        crop = image_np[y0:y1, x0:x1]
+        ch, cw = crop.shape[:2]
+        batchable, (nh, nw) = self._preprocess(crop)
+        embedding = self._encode_fn()(self.variables, jnp.asarray(batchable))
+
+        n_side = self.points_per_side // (
+            self.crop_n_points_downscale_factor ** layer_idx)
+        grid = build_point_grid(n_side)
+        pts = grid * np.array([nw, nh], np.float32)
+        pb = self.points_per_batch
+        pad = (-len(pts)) % pb
+        pts_padded = np.concatenate([pts, np.zeros((pad, 2), np.float32)])
+        valid = np.arange(len(pts_padded)) < len(pts)
+        sel_logits, sel_iou, sel_ok = self._decode_all_fn(len(pts_padded))(
+            self.variables, embedding, jnp.asarray(pts_padded),
+            jnp.asarray(valid))
+        masks, boxes, areas = self._mask_stats_fn((nh, nw, ch, cw))(sel_logits)
+        return dict(masks=masks, nh=nh, nw=nw, ch=ch, cw=cw,
+                    boxes=np.asarray(boxes), areas=np.asarray(areas),
+                    iou=np.asarray(sel_iou), ok=np.asarray(sel_ok))
+
+    def generate_regions(self, image_np: np.ndarray,
+                         area_threshold: int = 1024) -> np.ndarray:
+        """uint8 (H, W, 3) -> int32 (H, W) region map (0 = unassigned)."""
+        h, w = image_np.shape[:2]
+        crop_boxes, layer_idxs = generate_crop_boxes(
+            (h, w), self.crop_n_layers, self.crop_overlap_ratio)
+        crops = []
+        cand = []                     # (crop_idx, mask_idx, box_img, score)
+        for ci, (box, layer) in enumerate(zip(crop_boxes, layer_idxs)):
+            r = self._crop_device(image_np, box, layer)
+            crops.append((r, box))
+            valid = r['ok'] & (r['areas'] >= area_threshold) \
+                & (r['areas'] > 0)
+            idxs = np.nonzero(valid)[0]
+            if not len(idxs):
+                continue
+            b = r['boxes'][idxs] + np.array(
+                [box[0], box[1], box[0], box[1]], np.float32)
+            scores = r['iou'][idxs]
+            # per-crop NMS
+            keep = nms_boxes(b, scores, self.box_nms_thresh)
+            for k in keep:
+                cand.append((ci, int(idxs[k]), b[k],
+                             float(scores[k]) + layer * 1e-3))
+        if not cand:
+            return np.zeros((h, w), np.int32)
+        boxes = np.stack([c[2] for c in cand])
+        scores = np.array([c[3] for c in cand])
+        order = (nms_boxes(boxes, scores, self.crop_nms_thresh)
+                 if len(crop_boxes) > 1 else np.argsort(-scores))
+        # assign global ids in keep order (max-paint => higher id wins,
+        # matching regions_from_anns' sequential overwrite)
+        per_crop_ids = {ci: np.zeros(self.mask_budget, np.int32)
+                        for ci in range(len(crop_boxes))}
+        for gid, oi in enumerate(order):
+            ci, mi, _, _ = cand[oi]
+            per_crop_ids[ci][mi] = gid + 1
+        canvas = jnp.zeros((h, w), jnp.int32)
+        for ci, (r, box) in enumerate(crops):
+            ids = per_crop_ids[ci]
+            if not ids.any():
+                continue
+            paint = self._paint_fn((r['nh'], r['nw'], box[0], box[1],
+                                    r['ch'], r['cw']))
+            canvas = paint(canvas, r['masks'], jnp.asarray(ids))
+        return np.asarray(canvas)

@@ -218,3 +218,48 @@ def test_converter_roundtrip_keys():
     for p, v in flatten(converted['params']):
         assert np.shape(v) == flax_leaves[p].shape, (p, np.shape(v),
                                                      flax_leaves[p].shape)
+
+
+def test_region_generator_matches_parity_path(tiny_sam):
+    """The device-painted region map must partition pixels like the
+    ann-downloading path (ids may differ; grouping must agree)."""
+    from regda_tpu.models.sam.auto import (SamRegionGenerator,
+                                           regions_from_anns)
+    model, variables = tiny_sam
+    kwargs = dict(points_per_side=4, points_per_batch=8,
+                  pred_iou_thresh=-1e9, stability_score_thresh=0.0,
+                  crop_n_layers=0, mask_budget=16)
+    gen_ref = SamAutomaticMaskGenerator(model, variables, **kwargs)
+    gen_dev = SamRegionGenerator(model, variables, **kwargs)
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (64, 64, 3), np.uint8).astype(np.uint8)
+
+    anns = gen_ref.generate(img)
+    ref = regions_from_anns(anns, (64, 64), area_threshold=16)
+    dev = gen_dev.generate_regions(img, area_threshold=16)
+    assert dev.shape == (64, 64) and dev.dtype == np.int32
+    assert (dev > 0).any()
+    # same number of regions
+    assert len(np.unique(dev)) == len(np.unique(ref))
+    # grouping agreement: majority-map dev ids onto ref ids; the remapped
+    # map must agree on almost all pixels (resize rounding tolerance)
+    agree = 0
+    for d in np.unique(dev):
+        sel = dev == d
+        ref_ids, cnts = np.unique(ref[sel], return_counts=True)
+        agree += cnts.max()
+    assert agree / dev.size > 0.95
+
+
+def test_region_generator_with_crop_pyramid(tiny_sam):
+    from regda_tpu.models.sam.auto import SamRegionGenerator
+    model, variables = tiny_sam
+    gen = SamRegionGenerator(model, variables, points_per_side=4,
+                             points_per_batch=8, pred_iou_thresh=-1e9,
+                             stability_score_thresh=0.0, crop_n_layers=1,
+                             mask_budget=16)
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 255, (64, 64, 3), np.uint8).astype(np.uint8)
+    out = gen.generate_regions(img, area_threshold=4)
+    assert out.shape == (64, 64)
+    assert out.min() >= 0

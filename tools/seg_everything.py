@@ -23,7 +23,8 @@ import _bootstrap  # noqa: F401
 
 import jax
 
-from regda_tpu.models.sam import Sam, SamAutomaticMaskGenerator
+from regda_tpu.models.sam import (Sam, SamAutomaticMaskGenerator,
+                                  SamRegionGenerator)
 from regda_tpu.models.sam.auto import regions_from_anns
 
 if __name__ == '__main__':
@@ -39,6 +40,9 @@ if __name__ == '__main__':
     parser.add_argument('--pred-iou-thresh', type=float, default=0.90)
     parser.add_argument('--stability-thresh', type=float, default=0.95)
     parser.add_argument('--crop-n-layers', type=int, default=1)
+    parser.add_argument('--fast', type=int, default=1,
+                        help='device-painted region maps (1, default) or the\n'
+                             'mask-downloading parity path (0)')
     args = parser.parse_args()
 
     model = Sam(vit_config=args.model_type)
@@ -55,7 +59,8 @@ if __name__ == '__main__':
             jnp.zeros((1, 1024, 1024, 3)),
             jnp.zeros((1, 1, 2)), jnp.ones((1, 1), jnp.int32))
 
-    gen = SamAutomaticMaskGenerator(
+    gen_cls = SamRegionGenerator if args.fast else SamAutomaticMaskGenerator
+    gen = gen_cls(
         model, variables,
         points_per_side=args.points_per_side,
         pred_iou_thresh=args.pred_iou_thresh,
@@ -72,9 +77,12 @@ if __name__ == '__main__':
         for i, fname in enumerate(files):
             image = np.asarray(Image.open(os.path.join(img_dir, fname))
                                .convert('RGB'))
-            anns = gen.generate(image)
-            regions = regions_from_anns(anns, image.shape[:2],
-                                        args.area_threshold)
+            if args.fast:
+                regions = gen.generate_regions(image, args.area_threshold)
+            else:
+                anns = gen.generate(image)
+                regions = regions_from_anns(anns, image.shape[:2],
+                                            args.area_threshold)
             Image.fromarray(regions, mode='I').save(
                 os.path.join(out_dir, fname.replace('.png', '.tif')))
             if (i + 1) % 20 == 0:
