@@ -458,9 +458,11 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
             self.variables, embedding, jnp.asarray(pts_padded),
             jnp.asarray(valid))
         masks, boxes, areas = self._mask_stats_fn((nh, nw, ch, cw))(sel_logits)
+        # device arrays throughout — callers download the (tiny) scalars
+        # when they need them, so batched callers can enqueue many crops
+        # before the first blocking read
         return dict(masks=masks, nh=nh, nw=nw, ch=ch, cw=cw,
-                    boxes=np.asarray(boxes), areas=np.asarray(areas),
-                    iou=np.asarray(sel_iou), ok=np.asarray(sel_ok))
+                    boxes=boxes, areas=areas, iou=sel_iou, ok=sel_ok)
 
     def generate_regions(self, image_np: np.ndarray,
                          area_threshold: int = 1024) -> np.ndarray:
@@ -473,14 +475,14 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
         for ci, (box, layer) in enumerate(zip(crop_boxes, layer_idxs)):
             r = self._crop_device(image_np, box, layer)
             crops.append((r, box))
-            valid = r['ok'] & (r['areas'] >= area_threshold) \
-                & (r['areas'] > 0)
+            ok, areas = np.asarray(r['ok']), np.asarray(r['areas'])
+            valid = ok & (areas >= area_threshold) & (areas > 0)
             idxs = np.nonzero(valid)[0]
             if not len(idxs):
                 continue
-            b = r['boxes'][idxs] + np.array(
+            b = np.asarray(r['boxes'])[idxs] + np.array(
                 [box[0], box[1], box[0], box[1]], np.float32)
-            scores = r['iou'][idxs]
+            scores = np.asarray(r['iou'])[idxs]
             # per-crop NMS
             keep = nms_boxes(b, scores, self.box_nms_thresh)
             for k in keep:
@@ -508,3 +510,65 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
                                     r['ch'], r['cw']))
             canvas = paint(canvas, r['masks'], jnp.asarray(ids))
         return np.asarray(canvas)
+
+    def generate_regions_batch(self, tiles: "list[np.ndarray]",
+                               area_threshold: int = 1024
+                               ) -> "list[np.ndarray]":
+        """Batched region maps for same-sized tiles.
+
+        Phase-structured to hide the host link's dispatch latency: ALL
+        device work for every tile is enqueued before the first (tiny)
+        stats download, so the accelerator pipeline never stalls on the
+        host between tiles; then NMS runs per tile on scalars and the
+        paints are enqueued back-to-back.
+        """
+        h, w = tiles[0].shape[:2]
+        assert all(t.shape[:2] == (h, w) for t in tiles)
+        crop_boxes, layer_idxs = generate_crop_boxes(
+            (h, w), self.crop_n_layers, self.crop_overlap_ratio)
+
+        # phase 1: enqueue everything (no blocking reads)
+        per_tile = []
+        for tile in tiles:
+            per_tile.append([self._crop_device(tile, box, layer)
+                             for box, layer in zip(crop_boxes, layer_idxs)])
+
+        # phase 2: per-tile NMS on (now materialized) scalars + paint
+        canvases = []
+        for crops in per_tile:
+            cand = []
+            for ci, (r, box) in enumerate(zip(crops, crop_boxes)):
+                ok, areas = np.asarray(r['ok']), np.asarray(r['areas'])
+                valid = ok & (areas >= area_threshold) & (areas > 0)
+                idxs = np.nonzero(valid)[0]
+                if not len(idxs):
+                    continue
+                b = np.asarray(r['boxes'])[idxs] + np.array(
+                    [box[0], box[1], box[0], box[1]], np.float32)
+                scores = np.asarray(r['iou'])[idxs]
+                keep = nms_boxes(b, scores, self.box_nms_thresh)
+                for k in keep:
+                    cand.append((ci, int(idxs[k]), b[k],
+                                 float(scores[k]) + layer_idxs[ci] * 1e-3))
+            if not cand:
+                canvases.append(jnp.zeros((h, w), jnp.int32))
+                continue
+            boxes = np.stack([c[2] for c in cand])
+            scores = np.array([c[3] for c in cand])
+            order = (nms_boxes(boxes, scores, self.crop_nms_thresh)
+                     if len(crop_boxes) > 1 else np.argsort(-scores))
+            ids = {ci: np.zeros(self.mask_budget, np.int32)
+                   for ci in range(len(crop_boxes))}
+            for gid, oi in enumerate(order):
+                ci, mi, _, _ = cand[oi]
+                ids[ci][mi] = gid + 1
+            canvas = jnp.zeros((h, w), jnp.int32)
+            for ci, (r, box) in enumerate(zip(crops, crop_boxes)):
+                if not ids[ci].any():
+                    continue
+                paint = self._paint_fn((r['nh'], r['nw'], box[0], box[1],
+                                        r['ch'], r['cw']))
+                canvas = paint(canvas, r['masks'], jnp.asarray(ids[ci]))
+            canvases.append(canvas)
+
+        return [np.asarray(c) for c in canvases]

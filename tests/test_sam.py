@@ -263,3 +263,19 @@ def test_region_generator_with_crop_pyramid(tiny_sam):
     out = gen.generate_regions(img, area_threshold=4)
     assert out.shape == (64, 64)
     assert out.min() >= 0
+
+
+def test_generate_regions_batch_matches_single(tiny_sam):
+    from regda_tpu.models.sam.auto import SamRegionGenerator
+    model, variables = tiny_sam
+    gen = SamRegionGenerator(model, variables, points_per_side=4,
+                             points_per_batch=8, pred_iou_thresh=-1e9,
+                             stability_score_thresh=0.0, crop_n_layers=0,
+                             mask_budget=16)
+    rng = np.random.RandomState(2)
+    tiles = [rng.randint(0, 255, (64, 64, 3), np.uint8).astype(np.uint8)
+             for _ in range(3)]
+    batched = gen.generate_regions_batch(tiles, area_threshold=16)
+    singles = [gen.generate_regions(t, area_threshold=16) for t in tiles]
+    for b, s in zip(batched, singles):
+        np.testing.assert_array_equal(b, s)

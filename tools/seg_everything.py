@@ -40,6 +40,8 @@ if __name__ == '__main__':
     parser.add_argument('--pred-iou-thresh', type=float, default=0.90)
     parser.add_argument('--stability-thresh', type=float, default=0.95)
     parser.add_argument('--crop-n-layers', type=int, default=1)
+    parser.add_argument('--batch-tiles', type=int, default=8,
+                        help='tiles per device dispatch batch (fast path)')
     parser.add_argument('--fast', type=int, default=1,
                         help='device-painted region maps (1, default) or the\n'
                              'mask-downloading parity path (0)')
@@ -74,17 +76,24 @@ if __name__ == '__main__':
         out_dir = img_dir.replace('img_dir', 'reg_dir')
         os.makedirs(out_dir, exist_ok=True)
         t0 = time.time()
-        for i, fname in enumerate(files):
-            image = np.asarray(Image.open(os.path.join(img_dir, fname))
-                               .convert('RGB'))
+        bt = max(args.batch_tiles, 1) if args.fast else 1
+        for lo in range(0, len(files), bt):
+            chunk = files[lo:lo + bt]
+            images = [np.asarray(Image.open(os.path.join(img_dir, f))
+                                 .convert('RGB')) for f in chunk]
             if args.fast:
-                regions = gen.generate_regions(image, args.area_threshold)
+                region_maps = gen.generate_regions_batch(
+                    images, args.area_threshold)
             else:
-                anns = gen.generate(image)
-                regions = regions_from_anns(anns, image.shape[:2],
-                                            args.area_threshold)
-            Image.fromarray(regions, mode='I').save(
-                os.path.join(out_dir, fname.replace('.png', '.tif')))
+                region_maps = []
+                for image in images:
+                    anns = gen.generate(image)
+                    region_maps.append(regions_from_anns(
+                        anns, image.shape[:2], args.area_threshold))
+            for fname, regions in zip(chunk, region_maps):
+                Image.fromarray(regions, mode='I').save(
+                    os.path.join(out_dir, fname.replace('.png', '.tif')))
+            i = lo + len(chunk) - 1
             if (i + 1) % 20 == 0:
                 rate = (i + 1) / (time.time() - t0)
                 print(f'{img_dir}: {i + 1}/{len(files)} tiles '
