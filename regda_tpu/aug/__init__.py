@@ -1,4 +1,4 @@
 from regda_tpu.aug.augmentation import (Compose, OneOf, RandomCrop,
                                         RandomHorizontalFlip,
                                         RandomVerticalFlip, RandomRotate90,
-                                        Normalize, CenterCrop)
+                                        Normalize, CenterCrop, Resize, Pad)

@@ -130,3 +130,78 @@ class Normalize:
             img = np.minimum(img, 1.0)
         out['image'] = img.astype(np.float32)
         return out
+
+
+class Resize:
+    """Bilinear image / nearest label+region resize (reference
+    regda/aug/augmentation.py:20-30)."""
+
+    def __init__(self, size):
+        self.size = (size, size) if isinstance(size, int) else tuple(size)
+
+    def __call__(self, sample, rng):
+        out = dict(sample)
+        th, tw = self.size
+
+        def resize(a, nearest):
+            h, w = a.shape[:2]
+            if (h, w) == (th, tw):
+                return a
+            yi = np.clip(((np.arange(th) + 0.5) * h / th).astype(np.int64),
+                         0, h - 1)
+            xi = np.clip(((np.arange(tw) + 0.5) * w / tw).astype(np.int64),
+                         0, w - 1)
+            if nearest:
+                return a[yi][:, xi]
+            # separable bilinear (half-pixel centers) in float32
+            ys = (np.arange(th) + 0.5) * h / th - 0.5
+            xs = (np.arange(tw) + 0.5) * w / tw - 0.5
+            y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+            y1 = np.clip(y0 + 1, 0, h - 1)
+            x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+            x1 = np.clip(x0 + 1, 0, w - 1)
+            wy = np.clip(ys - y0, 0, 1)[:, None]
+            wx = np.clip(xs - x0, 0, 1)[None, :]
+            if a.ndim == 2:
+                a = a[..., None]
+            a = a.astype(np.float32)
+            top = a[y0][:, x0] * (1 - wx[..., None]) + a[y0][:, x1] * wx[..., None]
+            bot = a[y1][:, x0] * (1 - wx[..., None]) + a[y1][:, x1] * wx[..., None]
+            r = top * (1 - wy[..., None]) + bot * wy[..., None]
+            return r[..., 0] if r.shape[-1] == 1 and sample['image'].ndim == 2 else r
+
+        if 'image' in out:
+            out['image'] = resize(out['image'], nearest=False)
+        for k in ('cls', 'sup'):
+            if k in out and isinstance(out[k], np.ndarray):
+                out[k] = resize(out[k], nearest=out[k].ndim == 2)
+        return out
+
+
+class Pad:
+    """Constant-pad image (fill) and labels/regions (target fill)
+    (reference regda/aug/augmentation.py:125-137). `padding_n` follows
+    torchvision semantics: int = all sides, (l, t, r, b) = per side."""
+
+    def __init__(self, padding_n, padding_fill_value=0,
+                 padding_fill_target_value=0):
+        if isinstance(padding_n, int):
+            padding_n = (padding_n,) * 4
+        self.pad = padding_n
+        self.fill = padding_fill_value
+        self.fill_t = padding_fill_target_value
+
+    def __call__(self, sample, rng):
+        out = dict(sample)
+        l, t, r, b = self.pad
+
+        def pad(a, fill):
+            widths = [(t, b), (l, r)] + [(0, 0)] * (a.ndim - 2)
+            return np.pad(a, widths, constant_values=fill)
+
+        if 'image' in out:
+            out['image'] = pad(out['image'], self.fill)
+        for k in ('cls', 'sup'):
+            if k in out and isinstance(out[k], np.ndarray):
+                out[k] = pad(out[k], self.fill_t)
+        return out

@@ -45,3 +45,29 @@ def test_downscale_pure_ignore_window():
     lbl = np.full((1, 16, 16), -1, dtype=np.int64)
     out = np.asarray(downscale_label(jnp.asarray(lbl), 16, 6))
     assert out.item() == -1
+
+
+def test_aug_resize_and_pad():
+    """Resize (bilinear img / nearest labels) and Pad transforms
+    (reference regda/aug/augmentation.py:20-30,125-137)."""
+    import numpy as np
+    from regda_tpu.aug import Resize, Pad
+    rng = np.random.default_rng(0)
+    sample = {'image': rng.random((8, 8, 3)).astype(np.float32),
+              'cls': rng.integers(0, 4, (8, 8)).astype(np.int32),
+              'sup': rng.integers(0, 9, (8, 8)).astype(np.int32)}
+    out = Resize(4)(sample, rng)
+    assert out['image'].shape == (4, 4, 3)
+    assert out['cls'].shape == (4, 4) and out['cls'].dtype == np.int32
+    # nearest keeps original label values only
+    assert set(np.unique(out['cls'])) <= set(np.unique(sample['cls']))
+    # identity resize is exact
+    same = Resize(8)(sample, rng)
+    np.testing.assert_array_equal(same['image'], sample['image'])
+
+    padded = Pad(2, padding_fill_value=0, padding_fill_target_value=-1)(
+        sample, rng)
+    assert padded['image'].shape == (12, 12, 3)
+    assert padded['cls'].shape == (12, 12)
+    assert (padded['cls'][:2] == -1).all() and (padded['image'][:2] == 0).all()
+    np.testing.assert_array_equal(padded['cls'][2:-2, 2:-2], sample['cls'])
