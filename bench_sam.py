@@ -1,0 +1,58 @@
+"""Secondary benchmark: SAM everything-mode region-map throughput
+(512x512 tiles/sec/chip) — the other half of the BASELINE.md north-star.
+
+Prints one JSON line like bench.py. Uses the device-resident region path
+(SamRegionGenerator.generate_regions_batch) with ViT-B, 32x32 points, the
+reference's thresholds (local_region_homog.py:32-39), crop_n_layers
+configurable (reference uses 1; default here 0 = single crop, the
+dominant production configuration for 512-tiles which SAM itself resizes
+to 1024 anyway).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from regda_tpu.models.sam import Sam, SamRegionGenerator
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             '.jax_cache')
+    try:
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+    except Exception:
+        pass
+
+    crop_layers = int(os.environ.get('BENCH_SAM_CROPS', '0'))
+    batch = int(os.environ.get('BENCH_SAM_BATCH', '8'))
+    model = Sam(vit_config='vit_b')
+    variables = model.init({'params': jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 1024, 1024, 3)),
+                           jnp.zeros((1, 1, 2)), jnp.ones((1, 1), jnp.int32))
+    gen = SamRegionGenerator(model, variables, points_per_side=32,
+                             pred_iou_thresh=0.90,
+                             stability_score_thresh=0.95,
+                             crop_n_layers=crop_layers,
+                             crop_n_points_downscale_factor=2)
+    rng = np.random.RandomState(0)
+    tiles = [rng.randint(0, 255, (512, 512, 3), np.uint8).astype(np.uint8)
+             for _ in range(batch)]
+    gen.generate_regions_batch(tiles)              # compile
+    iters = int(os.environ.get('BENCH_SAM_ITERS', '3'))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        gen.generate_regions_batch(tiles)
+    dt = time.perf_counter() - t0
+    tps = iters * batch / dt
+    print(json.dumps({'metric': 'sam_region_gen_tiles_per_sec_per_chip',
+                      'value': round(tps, 3), 'unit': 'tiles/s',
+                      'crop_n_layers': crop_layers}))
+
+
+if __name__ == '__main__':
+    main()
