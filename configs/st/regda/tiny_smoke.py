@@ -18,27 +18,37 @@ _C = 6
 
 
 def _materialize():
+    """Learnable synthetic tiles: each class has a distinct base color
+    (domain-shifted between Potsdam/Vaihingen) + noise, so a real training
+    run on this config actually converges — the smoke chain checks
+    learning, not just plumbing. v2 marker invalidates older random data."""
     from PIL import Image
+    marker = os.path.join(_ROOT, '.v2_learnable')
+    if os.path.exists(marker):
+        return
     rng = np.random.default_rng(0)
+    palette = (rng.integers(40, 215, (_C, 3)).astype(np.float32))
+    shift = {'Potsdam': 0.0, 'Vaihingen': 25.0}
     for domain in ('Potsdam', 'Vaihingen'):
         for split, n in (('train', 4), ('val', 2), ('test', 2)):
             img_dir = os.path.join(_ROOT, domain, 'img_dir', split)
             ann_dir = os.path.join(_ROOT, domain, 'ann_dir', split)
             reg_dir = os.path.join(_ROOT, domain, 'reg_dir', split)
-            if os.path.isdir(img_dir) and os.listdir(img_dir):
-                continue
             for d in (img_dir, ann_dir, reg_dir):
                 os.makedirs(d, exist_ok=True)
             for i in range(n):
-                img = rng.integers(0, 255, (_HW, _HW, 3)).astype(np.uint8)
-                block = rng.integers(0, _C, (2, 2)).astype(np.uint8)
-                lbl = np.kron(block, np.ones((_HW // 2, _HW // 2), np.uint8))
+                block = rng.integers(0, _C, (4, 4)).astype(np.uint8)
+                lbl = np.kron(block, np.ones((_HW // 4, _HW // 4), np.uint8))
+                img = palette[lbl] + shift[domain] \
+                    + rng.normal(0, 12, (_HW, _HW, 3))
+                img = np.clip(img, 0, 255).astype(np.uint8)
                 reg = np.kron(rng.integers(0, 5, (4, 4)),
                               np.ones((_HW // 4, _HW // 4))).astype(np.int32)
                 Image.fromarray(img).save(os.path.join(img_dir, f't{i}.png'))
                 Image.fromarray(lbl).save(os.path.join(ann_dir, f't{i}.png'))
                 Image.fromarray(reg, mode='I').save(
                     os.path.join(reg_dir, f't{i}.tif'))
+    open(marker, 'w').write('v2')
 
 
 _materialize()
