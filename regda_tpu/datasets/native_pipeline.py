@@ -149,12 +149,20 @@ def try_native_batch(dataset, indices, rngs, nthreads: int = 4
     if dataset.read_sup:
         sups = [np.asarray(Image.open(dataset.sup_paths[i])).astype(np.int32)
                 for i in indices]
+        # the C++ kernel indexes sup with image coordinates; a size-mismatched
+        # region map would read out of bounds — fall back to Python instead
+        if any(s.shape != (h, w) for s in sups):
+            return None
 
-    img, mask, sup = native.load_batch(
-        img_paths, mask_paths, sups, params,
-        per[0]['mean'], per[0]['std'], per[0]['clamp'],
-        dataset.meta.offset, dataset.meta.num_classes,
-        dataset.meta.ignore_label, crop, nthreads=nthreads)
+    try:
+        img, mask, sup = native.load_batch(
+            img_paths, mask_paths, sups, params,
+            per[0]['mean'], per[0]['std'], per[0]['clamp'],
+            dataset.meta.offset, dataset.meta.num_classes,
+            dataset.meta.ignore_label, crop, nthreads=nthreads)
+    except IOError:
+        # decode failure or per-tile size mismatch: Python path handles it
+        return None
     out = {'image': img,
            'fname': [os.path.basename(p) for p in img_paths]}
     if mask is not None:

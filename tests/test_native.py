@@ -108,3 +108,21 @@ def test_mask_id_mapping(tile_tree):
     bn = next(iter(_loader(tile_tree, t, True)))
     assert bn['cls'].min() >= -1 and bn['cls'].max() <= 5
     assert (bn['cls'] == -1).any()
+
+
+def test_mismatched_sup_declines_native(tile_tree, tmp_path):
+    """A region map whose size differs from the tile must never reach the
+    C++ kernel (out-of-bounds risk): try_native_batch declines and returns
+    None so the (loud, Python-level) fallback handles the corrupt data."""
+    import shutil
+    from regda_tpu.datasets.basedata import TileDataset
+    from regda_tpu.datasets.native_pipeline import try_native_batch
+    root = tmp_path / 'bad'
+    shutil.copytree(tile_tree, root)
+    Image.fromarray(np.zeros((32, 32), np.int32), mode='I').save(
+        root / 'reg_dir' / 'train' / 't0.tif')
+    ds = TileDataset('IsprsDA', [str(root / 'img_dir' / 'train')],
+                     [str(root / 'ann_dir' / 'train')], transforms=TRAIN_T,
+                     read_sup=True)
+    rngs = [np.random.default_rng(i) for i in range(4)]
+    assert try_native_batch(ds, [0, 1, 2, 3], rngs) is None
