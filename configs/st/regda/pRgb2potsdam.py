@@ -1,28 +1,27 @@
-"""Vaihingen -> Potsdam RGB variant (reference configs/st/regda/
-pRgb2potsdam.py): the target is the RGB-channel Potsdam tree."""
+"""Potsdam RGB -> Potsdam IRRG variant (reference configs/st/regda/
+pRgb2potsdam.py): RGB-channel Potsdam tiles as the SOURCE (ImageNet
+normalization, :26-27), target/eval/test on the Potsdam IRRG trees from
+ToPotsdam."""
 
-from configs.ToPotsdam import (SOURCE_DATA_CONFIG, DATASETS)
-from configs._base import IMAGENET_STATS
+from configs.ToPotsdam import (EVAL_DATA_CONFIG, PSEUDO_DATA_CONFIG,
+                               TEST_DATA_CONFIG, TARGET_SET, target_dir,
+                               TARGET_STATS, DATASETS)
+from configs._base import IMAGENET_STATS, train_transforms
 from configs.st.regda._experiment import experiment_attrs
 
-TARGET_SET = 'Potsdam'
-target_dir = dict(image_dir=['data/IsprsDA/Potsdam_rgb/img_dir/train'],
+source_dir = dict(image_dir=['data/IsprsDA/Potsdam_rgb/img_dir/train'],
                   mask_dir=['data/IsprsDA/Potsdam_rgb/ann_dir/train'])
-val_dir = dict(image_dir=['data/IsprsDA/Potsdam_rgb/img_dir/val'],
-               mask_dir=['data/IsprsDA/Potsdam_rgb/ann_dir/val'])
-test_dir = dict(image_dir=['data/IsprsDA/Potsdam_rgb/img_dir/test'],
-                mask_dir=['data/IsprsDA/Potsdam_rgb/ann_dir/test'])
 
-from configs._base import data_configs, VAIHINGEN_STATS
-(_, TARGET_DATA_CONFIG_ID, PSEUDO_DATA_CONFIG,
- EVAL_DATA_CONFIG, TEST_DATA_CONFIG) = data_configs(
-    target_dir, target_dir, val_dir, test_dir,
-    VAIHINGEN_STATS, IMAGENET_STATS)
+SOURCE_DATA_CONFIG = dict(
+    image_dir=source_dir['image_dir'],
+    mask_dir=source_dir['mask_dir'],
+    transforms=train_transforms(*IMAGENET_STATS),
+    CV=dict(k=10, i=-1), training=True, batch_size=8, num_workers=4)
 
 globals().update(experiment_attrs(
     model='ResNet101',
     snapshot_dir='./log/regda/pRgb2potsdam',
     target_dir=target_dir,
-    target_stats=IMAGENET_STATS,
+    target_stats=TARGET_STATS,
     clamp=True,
 ))

@@ -126,10 +126,17 @@ def try_native_batch(dataset, indices, rngs, nthreads: int = 4
     if not all(p.endswith('.png') for p in img_paths):
         return None
 
-    # probe dims from the first tile (tiles in one dataset share a size)
+    # every tile must share one size: the RNG draws below use (h, w), and a
+    # silently different tile would skew the crop distribution vs the
+    # Python path (PIL reads only the header here — cheap)
     from PIL import Image
-    with Image.open(img_paths[0]) as im:
-        w, h = im.size
+    sizes = set()
+    for p in img_paths:
+        with Image.open(p) as im:
+            sizes.add(im.size)
+    if len(sizes) != 1:
+        return None
+    w, h = sizes.pop()
 
     per = []
     for rng in rngs:

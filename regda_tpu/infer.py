@@ -78,7 +78,7 @@ class SegInferencer:
         total = None
         for scale in scales:
             sh, sw = int(round(h * scale)), int(round(w * scale))
-            key = ('ms', b, sh, sw, tta)
+            key = ('ms', b, h, w, sh, sw, tta)
             if key not in self._cache:
                 def fn(variables, img, sh=sh, sw=sw):
                     scaled = resize_bilinear_align_corners(img, (sh, sw))

@@ -496,7 +496,9 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
                  if len(crop_boxes) > 1 else np.argsort(-scores))
         # assign global ids in keep order (max-paint => higher id wins,
         # matching regions_from_anns' sequential overwrite)
-        per_crop_ids = {ci: np.zeros(self.mask_budget, np.int32)
+        # ids sized to the actual device selection (min(budget, grid*3))
+        per_crop_ids = {ci: np.zeros(int(crops[ci][0]['ok'].shape[0]),
+                                     np.int32)
                         for ci in range(len(crop_boxes))}
         for gid, oi in enumerate(order):
             ci, mi, _, _ = cand[oi]
@@ -557,7 +559,7 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
             scores = np.array([c[3] for c in cand])
             order = (nms_boxes(boxes, scores, self.crop_nms_thresh)
                      if len(crop_boxes) > 1 else np.argsort(-scores))
-            ids = {ci: np.zeros(self.mask_budget, np.int32)
+            ids = {ci: np.zeros(int(crops[ci]['ok'].shape[0]), np.int32)
                    for ci in range(len(crop_boxes))}
             for gid, oi in enumerate(order):
                 ci, mi, _, _ = cand[oi]

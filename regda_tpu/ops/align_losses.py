@@ -236,7 +236,7 @@ def msc_loss(src_features: jnp.ndarray, src_labels: jnp.ndarray,
     has_same = mask_sim.sum(1) > 0
     has_diff = (1.0 - mask_sim).sum(1) > 0
     row_ok = has_same & has_diff
-    scores = jax.nn.softmax(jnp.where(mask_sim + (1 - mask_sim) > 0, f_sim, -jnp.inf), axis=1)
+    scores = jax.nn.softmax(f_sim, axis=1)
     contrast = (scores * mask_sim).sum(1)
     logs = jnp.where(row_ok, jnp.log(jnp.clip(contrast, EPS)), 0.0)
     return -logs.sum() / (row_ok.sum() + EPS)

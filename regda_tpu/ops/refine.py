@@ -96,8 +96,11 @@ def label_refine(feat: jnp.ndarray, preds: Sequence[jnp.ndarray],
     if mode in ('all', 'l'):
         weight = weight + prediction_weight(preds, out_hw, temp)
     if sup_ids is not None and mode in ('all', 's'):
-        sup_w, ignored = superpixel_weight(label_soft, sup_ids,
-                                           num_sup or int(sup_ids.max()) + 1,
+        # num_sup must be a static bound: deriving it from sup_ids.max()
+        # would concretize a tracer under jit
+        assert num_sup is not None, \
+            'label_refine: pass a static num_sup with sup_ids'
+        sup_w, ignored = superpixel_weight(label_soft, sup_ids, num_sup,
                                            temp)
         if mode == 'all':
             weight = jnp.where(ignored, weight, weight * sup_w)

@@ -54,6 +54,11 @@ class Trainer:
         self.mIoU_max = 0.0
         self.iter_max = 0
 
+    def _close_trace(self):
+        if self._trace_ctx is not None:
+            self._trace_ctx.__exit__(None, None, None)
+            self._trace_ctx = None
+
     def put_batch(self, **arrays):
         if self.mesh is not None:
             return shard_batch(self.mesh, arrays)
@@ -65,10 +70,11 @@ class Trainer:
                 self._trace_ctx = trace_window(
                     os.path.join(self.cfg.SNAPSHOT_DIR, 'trace'))
                 self._trace_ctx.__enter__()
+                import atexit
+                atexit.register(self._close_trace)  # short runs still flush
             elif (i_iter == self._profile_start + 5
                   and self._trace_ctx is not None):
-                self._trace_ctx.__exit__(None, None, None)
-                self._trace_ctx = None
+                self._close_trace()
         self.timer.start()
         # note: jax.tree.map canonicalizes dict key order, so index by the
         # caller's keyword order rather than iterating b.values()

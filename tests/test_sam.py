@@ -279,3 +279,20 @@ def test_generate_regions_batch_matches_single(tiny_sam):
     singles = [gen.generate_regions(t, area_threshold=16) for t in tiles]
     for b, s in zip(batched, singles):
         np.testing.assert_array_equal(b, s)
+
+
+def test_region_generator_budget_exceeds_grid(tiny_sam):
+    """mask_budget larger than the candidate count (grid*3) must not crash
+    the paint path (id vectors are sized to the actual selection)."""
+    from regda_tpu.models.sam.auto import SamRegionGenerator
+    model, variables = tiny_sam
+    gen = SamRegionGenerator(model, variables, points_per_side=2,
+                             points_per_batch=4, pred_iou_thresh=-1e9,
+                             stability_score_thresh=0.0, crop_n_layers=0,
+                             mask_budget=256)
+    img = np.random.RandomState(3).randint(0, 255, (64, 64, 3),
+                                           np.uint8).astype(np.uint8)
+    out = gen.generate_regions(img, area_threshold=4)
+    assert out.shape == (64, 64)
+    outs = gen.generate_regions_batch([img, img], area_threshold=4)
+    np.testing.assert_array_equal(outs[0], out)

@@ -93,9 +93,8 @@ if __name__ == '__main__':
             for fname, regions in zip(chunk, region_maps):
                 Image.fromarray(regions, mode='I').save(
                     os.path.join(out_dir, fname.replace('.png', '.tif')))
-            i = lo + len(chunk) - 1
-            if (i + 1) % 20 == 0:
-                rate = (i + 1) / (time.time() - t0)
-                print(f'{img_dir}: {i + 1}/{len(files)} tiles '
-                      f'({rate:.2f} tiles/s)')
+            done = lo + len(chunk)
+            rate = done / (time.time() - t0)
+            print(f'{img_dir}: {done}/{len(files)} tiles '
+                  f'({rate:.2f} tiles/s)')
         print(f'{img_dir}: done ({len(files)} tiles)')
