@@ -22,14 +22,21 @@ from regda_tpu.ops.tta import tta_apply
 class SegInferencer:
     def __init__(self, model, variables, num_classes: int,
                  tile: int = 512, stride: int = 256,
-                 compute_dtype: Optional[jnp.dtype] = None):
+                 compute_dtype: Optional[jnp.dtype] = None,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'data' axis. When given,
+        model variables are replicated across it and prediction batches are
+        sharded over 'data' (GSPMD inserts the gathers) — multi-chip eval /
+        pseudo-generation, a capability the single-GPU reference lacks
+        (SURVEY.md §2.7). The batch must divide the 'data' axis size."""
         self.model = model
-        self.variables = jax.device_put(variables)
+        self.mesh = mesh
         self.num_classes = num_classes
         self.tile = tile
         self.stride = stride
         self.compute_dtype = compute_dtype
         self._cache: dict = {}
+        self.update_variables(variables)
 
     def _make_fn(self, shape, slide: bool, tta: bool):
         def apply_probs(variables, x):
@@ -47,6 +54,11 @@ class SegInferencer:
                 return tta_apply(lambda t: apply_probs(variables, t), image)
             return apply_probs(variables, image)
 
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            data = NamedSharding(self.mesh, P('data'))
+            repl = NamedSharding(self.mesh, P())
+            return jax.jit(fn, in_shardings=(repl, data), out_shardings=data)
         return jax.jit(fn)
 
     def predict_probs(self, images: np.ndarray, slide: bool = True,
@@ -59,7 +71,12 @@ class SegInferencer:
                                            jnp.asarray(images)))
 
     def update_variables(self, variables):
-        self.variables = jax.device_put(variables)
+        if self.mesh is not None and variables is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self.variables = jax.device_put(
+                variables, NamedSharding(self.mesh, P()))
+        else:
+            self.variables = jax.device_put(variables)
 
 
     def predict_multiscale(self, images: np.ndarray,

@@ -182,3 +182,24 @@ def test_predict_multiscale():
     probs = inferencer.predict_multiscale(images, scales=(0.75, 1.0))
     assert probs.shape[:3] == images.shape[:3]
     np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-4)
+
+
+def test_sharded_inferencer_matches_single_device():
+    """Mesh-sharded batch inference (data parallelism over 8 virtual
+    devices) must reproduce the single-device probabilities."""
+    import numpy as np
+    from regda_tpu.models import build_deeplabv2
+    from regda_tpu.infer import SegInferencer
+    from regda_tpu.parallel import make_mesh
+
+    model = build_deeplabv2('resnet18', num_classes=6)
+    variables = model.init({'params': jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    images = np.random.default_rng(1).normal(
+        size=(8, 64, 64, 3)).astype(np.float32)
+    single = SegInferencer(model, variables, 6).predict_probs(
+        images, slide=False)
+    mesh = make_mesh(n_data=8, n_spatial=1)
+    sharded = SegInferencer(model, variables, 6, mesh=mesh).predict_probs(
+        images, slide=False)
+    np.testing.assert_allclose(sharded, single, atol=2e-5)
