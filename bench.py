@@ -44,19 +44,26 @@ def main():
     # execution finishes, so a data dependency chain + final host read is the
     # only trustworthy serialization. The feedback (first 3 prob channels,
     # scaled to ~zero) cannot be dead-code-eliminated.
-    @jax.jit
-    def forward_chained(variables, image):
-        probs = model.apply(variables, image, train=False).astype(jnp.float32)
-        return image + probs[..., :3] * 1e-6
-
-    y = forward_chained(variables, x)
-    np.asarray(y[0, 0, 0, :1])  # compile + first exec
     iters = int(os.environ.get('BENCH_ITERS', '10'))
-    y = x
+
+    # all `iters` forwards in ONE scanned dispatch: the tunneled backend
+    # adds ~10 ms RPC latency per call, which would otherwise be billed to
+    # the chip; the data-dependent carry + final host read still force every
+    # iteration to execute serially on device. `variables` must be a jit
+    # ARGUMENT — closing over it embeds the weights as HLO constants and
+    # the remote-compile request blows the tunnel's size limit (HTTP 413).
+    @jax.jit
+    def run(variables, image):
+        def step(img, _):
+            probs = model.apply(variables, img,
+                                train=False).astype(jnp.float32)
+            return img + probs[..., :3] * 1e-6, ()
+        y, _ = jax.lax.scan(step, image, None, length=iters)
+        return y
+
+    np.asarray(run(variables, x)[0, 0, 0, :1])  # compile + first exec
     t0 = time.perf_counter()
-    for _ in range(iters):
-        y = forward_chained(variables, y)
-    np.asarray(y[0, 0, 0, :1])  # materialize -> full chain executed
+    np.asarray(run(variables, x)[0, 0, 0, :1])  # full chain executed
     dt = time.perf_counter() - t0
     tiles_per_sec = batch * iters / dt
 
