@@ -389,6 +389,32 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
     """
 
     # --------------------------------------------------------- jit pieces
+    def _preprocess_device_fn(self, crop_hw):
+        """uint8 crop upload (~0.75 MB for a 512 tile) + resize/normalize on
+        device — the host-side PIL path uploads the resized float32 1024
+        square (12 MB), which costs ~0.16 s/crop on this machine's link.
+        For upscales (every 512-tile) half-pixel bilinear matches PIL
+        BILINEAR exactly."""
+        key = ('preproc', crop_hw)
+        if key not in self._jits:
+            from regda_tpu.ops.resize import resize_bilinear_half_pixel
+            ch, cw = crop_hw
+            size = self.img_size
+            scale = size / max(ch, cw)
+            nh, nw = int(ch * scale + 0.5), int(cw * scale + 0.5)
+            mean = jnp.asarray(SAM_PIXEL_MEAN)
+            std = jnp.asarray(SAM_PIXEL_STD)
+
+            def pre(crop_u8):
+                x = crop_u8.astype(jnp.float32)[None]
+                x = resize_bilinear_half_pixel(x, (nh, nw))
+                x = (x - mean) / std
+                return jnp.pad(x, ((0, 0), (0, size - nh),
+                                   (0, size - nw), (0, 0)))
+
+            self._jits[key] = (jax.jit(pre), (nh, nw))
+        return self._jits[key]
+
     def _mask_stats_fn(self, key_hw):
         """(budget, 256, 256) logits -> (masks1024 bool, boxes, areas) with
         boxes/areas scaled to the crop pixel frame."""
@@ -441,10 +467,11 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
     def _crop_device(self, image_np, crop_box, layer_idx):
         """Everything-mode for one crop; masks stay on device."""
         x0, y0, x1, y1 = crop_box
-        crop = image_np[y0:y1, x0:x1]
+        crop = np.ascontiguousarray(image_np[y0:y1, x0:x1])
         ch, cw = crop.shape[:2]
-        batchable, (nh, nw) = self._preprocess(crop)
-        embedding = self._encode_fn()(self.variables, jnp.asarray(batchable))
+        pre, (nh, nw) = self._preprocess_device_fn((ch, cw))
+        batchable = pre(jnp.asarray(crop))
+        embedding = self._encode_fn()(self.variables, batchable)
 
         n_side = self.points_per_side // (
             self.crop_n_points_downscale_factor ** layer_idx)
@@ -511,7 +538,8 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
             paint = self._paint_fn((r['nh'], r['nw'], box[0], box[1],
                                     r['ch'], r['cw']))
             canvas = paint(canvas, r['masks'], jnp.asarray(ids))
-        return np.asarray(canvas)
+        # ids stay well under 2^16: halve the (slow-link) download
+        return np.asarray(canvas.astype(jnp.uint16)).astype(np.int32)
 
     def generate_regions_batch(self, tiles: "list[np.ndarray]",
                                area_threshold: int = 1024
@@ -573,4 +601,5 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
                 canvas = paint(canvas, r['masks'], jnp.asarray(ids[ci]))
             canvases.append(canvas)
 
-        return [np.asarray(c) for c in canvases]
+        return [np.asarray(c.astype(jnp.uint16)).astype(np.int32)
+                for c in canvases]
