@@ -77,13 +77,14 @@ MOMENTUM = 0.9
 SNAPSHOT_DIR = os.path.join(_ROOT, 'log')
 WEIGHT_DECAY = 0.0005
 LEARNING_RATE = 1e-2
-STAGE1_STEPS = 6
-STAGE2_STEPS = 6
-STAGE3_STEPS = 6
+_STEPS = int(os.environ.get('REGDA_SMOKE_STEPS', 6))
+STAGE1_STEPS = _STEPS
+STAGE2_STEPS = _STEPS
+STAGE3_STEPS = _STEPS
 NUM_STEPS = None
 PREHEAT_STEPS = None
 POWER = 0.9
-EVAL_EVERY = 6
+EVAL_EVERY = _STEPS
 GENE_EVERY = 6
 CUTOFF_TOP = 0.8
 CUTOFF_LOW = 0.6
