@@ -42,20 +42,30 @@ SAM_PIXEL_STD = np.array([58.395, 57.12, 57.375], np.float32)
 
 
 class Sam(nn.Module):
-    """Bundled SAM modules sharing one variable tree."""
+    """Bundled SAM modules sharing one variable tree.
+
+    `dtype` is the compute dtype threaded through encoder + decoder (params
+    stay float32). Default bfloat16: the two-way decoder over per-prompt-
+    replicated image tokens and the ViT encoder are both matmul-bound, and
+    f32 ran them at <8% MXU on v5e. Pass dtype=jnp.float32 for strict
+    reference-parity numerics.
+    """
     vit_config: str = 'vit_b'
     img_size: int = 1024
+    dtype: jnp.dtype = jnp.bfloat16
 
     def setup(self):
         cfg = VIT_CONFIGS[self.vit_config]
         self.image_encoder = ImageEncoderViT(
-            img_size=self.img_size, name='image_encoder', **cfg)
+            img_size=self.img_size, dtype=self.dtype, name='image_encoder',
+            **cfg)
         emb = self.img_size // 16
         self.prompt_encoder = PromptEncoder(
             image_embedding_size=(emb, emb),
             input_image_size=(self.img_size, self.img_size),
             name='prompt_encoder')
-        self.mask_decoder = MaskDecoder(name='mask_decoder')
+        self.mask_decoder = MaskDecoder(dtype=self.dtype,
+                                        name='mask_decoder')
 
     def encode(self, image):
         return self.image_encoder(image)
@@ -406,7 +416,8 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
             std = jnp.asarray(SAM_PIXEL_STD)
 
             def pre(crop_u8):
-                x = crop_u8.astype(jnp.float32)[None]
+                x = crop_u8.astype(jnp.float32)
+                x = x[None] if x.ndim == 3 else x     # (B, ch, cw, 3)
                 x = resize_bilinear_half_pixel(x, (nh, nw))
                 x = (x - mean) / std
                 return jnp.pad(x, ((0, 0), (0, size - nh),
@@ -541,6 +552,77 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
         # ids stay well under 2^16: halve the (slow-link) download
         return np.asarray(canvas.astype(jnp.uint16)).astype(np.int32)
 
+
+    # ----------------------------------------------- batched (vmapped) jits
+    def _decode_all_batch_fn(self, n_pts: int):
+        key = ('decode_all_batch', n_pts)
+        if key not in self._jits:
+            # reuse the single-sample decode_all body under vmap; embedding
+            # keeps its leading 1 so decode_points sees (1, 64, 64, 256)
+            single = self._decode_all_fn(n_pts)
+
+            def batched(variables, embs, points, valid):
+                return jax.vmap(lambda e: single(variables, e, points,
+                                                 valid))(embs)
+
+            self._jits[key] = jax.jit(batched)
+        return self._jits[key]
+
+    def _mask_stats_packed_fn(self, key_hw):
+        """vmapped stats returning BIT-PACKED masks so a crop pyramid's
+        worth of batched masks stays ~MBs/crop-position on device."""
+        key = ('mask_stats_packed', key_hw)
+        if key not in self._jits:
+            from regda_tpu.ops.resize import resize_bilinear_half_pixel
+            nh, nw, ch, cw = key_hw
+            size = self.img_size
+            weights = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+
+            def stats_one(logits):
+                x = resize_bilinear_half_pixel(logits[..., None],
+                                               (size, size))[..., 0]
+                masks = x > 0.0
+                m = masks[:, :nh, :nw]
+                rows = m.any(axis=2)
+                cols = m.any(axis=1)
+                ys = jnp.arange(nh)
+                xs = jnp.arange(nw)
+                y0 = jnp.min(jnp.where(rows, ys, nh), axis=1)
+                y1 = jnp.max(jnp.where(rows, ys, -1), axis=1) + 1
+                x0 = jnp.min(jnp.where(cols, xs, nw), axis=1)
+                x1 = jnp.max(jnp.where(cols, xs, -1), axis=1) + 1
+                sy, sx = ch / nh, cw / nw
+                boxes = jnp.stack([x0 * sx, y0 * sy, x1 * sx, y1 * sy], 1)
+                areas = m.sum(axis=(1, 2)) * (sy * sx)
+                mm, hh, ww = masks.shape
+                packed = (masks.astype(jnp.uint8).reshape(mm, hh, ww // 8, 8)
+                          * weights).sum(-1).astype(jnp.uint8)
+                return packed, boxes.astype(jnp.float32), areas
+
+            self._jits[key] = jax.jit(jax.vmap(stats_one))
+        return self._jits[key]
+
+    def _paint_packed_fn(self, paint_key):
+        """Batched max-paint from bit-packed masks."""
+        key = ('paint_packed', paint_key)
+        if key not in self._jits:
+            nh, nw, x0, y0, ch, cw = paint_key
+
+            def paint_one(canvas, packed, ids):
+                yi = ((jnp.arange(ch) + 0.5) * nh / ch).astype(jnp.int32)
+                xi = ((jnp.arange(cw) + 0.5) * nw / cw).astype(jnp.int32)
+                rows = packed[:, yi]                         # (M, ch, S/8)
+                byts = rows[:, :, xi // 8]                   # (M, ch, cw)
+                bits = (byts >> (7 - (xi % 8)).astype(jnp.uint8)) & 1
+                contrib = jnp.max(
+                    bits.astype(jnp.int32) * ids[:, None, None], axis=0)
+                region = jax.lax.dynamic_slice(canvas, (y0, x0), (ch, cw))
+                return jax.lax.dynamic_update_slice(
+                    canvas, jnp.maximum(region, contrib), (y0, x0))
+
+            self._jits[key] = jax.jit(jax.vmap(paint_one))
+        return self._jits[key]
+
     def generate_regions_batch(self, tiles: "list[np.ndarray]",
                                area_threshold: int = 1024
                                ) -> "list[np.ndarray]":
@@ -554,52 +636,92 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
         """
         h, w = tiles[0].shape[:2]
         assert all(t.shape[:2] == (h, w) for t in tiles)
+        n_tiles = len(tiles)
         crop_boxes, layer_idxs = generate_crop_boxes(
             (h, w), self.crop_n_layers, self.crop_overlap_ratio)
 
-        # phase 1: enqueue everything (no blocking reads)
-        per_tile = []
-        for tile in tiles:
-            per_tile.append([self._crop_device(tile, box, layer)
-                             for box, layer in zip(crop_boxes, layer_idxs)])
+        # phase 1: per crop POSITION x tile: pre+encode and decode stay
+        # per-tile dispatches (a batch-8 ViT-B encode at 1024^2 overflows
+        # the 16G HBM) but they pipeline back-to-back with no host reads;
+        # packed stats are stacked on device so phase 2 downloads each
+        # scalar field ONCE per position instead of once per tile
+        per_pos = []
+        for box, layer in zip(crop_boxes, layer_idxs):
+            x0, y0, x1, y1 = box
+            ch = y1 - y0
+            cw = x1 - x0
+            pre, (nh, nw) = self._preprocess_device_fn((ch, cw))
+            n_side = self.points_per_side // (
+                self.crop_n_points_downscale_factor ** layer)
+            grid = build_point_grid(n_side)
+            pts = grid * np.array([nw, nh], np.float32)
+            pb = self.points_per_batch
+            pad = (-len(pts)) % pb
+            pts_padded = jnp.asarray(np.concatenate(
+                [pts, np.zeros((pad, 2), np.float32)]))
+            valid = jnp.asarray(np.arange(pts_padded.shape[0]) < len(pts))
+            decode = self._decode_all_fn(int(pts_padded.shape[0]))
+            stats = self._mask_stats_packed_fn((nh, nw, ch, cw))
+            packed_l, boxes_l, areas_l, iou_l, ok_l = [], [], [], [], []
+            for t in tiles:
+                crop = np.ascontiguousarray(t[y0:y1, x0:x1])
+                emb = self._encode_fn()(self.variables,
+                                        pre(jnp.asarray(crop)))
+                logits, iou, ok = decode(self.variables, emb, pts_padded,
+                                         valid)
+                packed, boxes, areas = stats(logits[None])
+                packed_l.append(packed[0])
+                boxes_l.append(boxes[0])
+                areas_l.append(areas[0])
+                iou_l.append(iou)
+                ok_l.append(ok)
+            per_pos.append(dict(packed=jnp.stack(packed_l),
+                                boxes=jnp.stack(boxes_l),
+                                areas=jnp.stack(areas_l),
+                                iou=jnp.stack(iou_l), ok=jnp.stack(ok_l),
+                                nh=nh, nw=nw, ch=ch, cw=cw))
 
-        # phase 2: per-tile NMS on (now materialized) scalars + paint
-        canvases = []
-        for crops in per_tile:
+        # phase 2: per-tile NMS on the (batched) scalars
+        pos_np = [dict(boxes=np.asarray(p['boxes']),
+                       areas=np.asarray(p['areas']),
+                       iou=np.asarray(p['iou']), ok=np.asarray(p['ok']))
+                  for p in per_pos]
+        all_ids = []            # per tile: per position id vectors
+        for ti in range(n_tiles):
             cand = []
-            for ci, (r, box) in enumerate(zip(crops, crop_boxes)):
-                ok, areas = np.asarray(r['ok']), np.asarray(r['areas'])
-                valid = ok & (areas >= area_threshold) & (areas > 0)
+            for ci, (p, box) in enumerate(zip(pos_np, crop_boxes)):
+                valid = (p['ok'][ti] & (p['areas'][ti] >= area_threshold)
+                         & (p['areas'][ti] > 0))
                 idxs = np.nonzero(valid)[0]
                 if not len(idxs):
                     continue
-                b = np.asarray(r['boxes'])[idxs] + np.array(
+                b = p['boxes'][ti][idxs] + np.array(
                     [box[0], box[1], box[0], box[1]], np.float32)
-                scores = np.asarray(r['iou'])[idxs]
+                scores = p['iou'][ti][idxs]
                 keep = nms_boxes(b, scores, self.box_nms_thresh)
                 for k in keep:
                     cand.append((ci, int(idxs[k]), b[k],
                                  float(scores[k]) + layer_idxs[ci] * 1e-3))
-            if not cand:
-                canvases.append(jnp.zeros((h, w), jnp.int32))
-                continue
-            boxes = np.stack([c[2] for c in cand])
-            scores = np.array([c[3] for c in cand])
-            order = (nms_boxes(boxes, scores, self.crop_nms_thresh)
-                     if len(crop_boxes) > 1 else np.argsort(-scores))
-            ids = {ci: np.zeros(int(crops[ci]['ok'].shape[0]), np.int32)
-                   for ci in range(len(crop_boxes))}
-            for gid, oi in enumerate(order):
-                ci, mi, _, _ = cand[oi]
-                ids[ci][mi] = gid + 1
-            canvas = jnp.zeros((h, w), jnp.int32)
-            for ci, (r, box) in enumerate(zip(crops, crop_boxes)):
-                if not ids[ci].any():
-                    continue
-                paint = self._paint_fn((r['nh'], r['nw'], box[0], box[1],
-                                        r['ch'], r['cw']))
-                canvas = paint(canvas, r['masks'], jnp.asarray(ids[ci]))
-            canvases.append(canvas)
+            ids = [np.zeros(pos_np[ci]['ok'].shape[1], np.int32)
+                   for ci in range(len(crop_boxes))]
+            if cand:
+                boxes = np.stack([c[2] for c in cand])
+                scores = np.array([c[3] for c in cand])
+                order = (nms_boxes(boxes, scores, self.crop_nms_thresh)
+                         if len(crop_boxes) > 1 else np.argsort(-scores))
+                for gid, oi in enumerate(order):
+                    ci, mi, _, _ = cand[oi]
+                    ids[ci][mi] = gid + 1
+            all_ids.append(ids)
 
-        return [np.asarray(c.astype(jnp.uint16)).astype(np.int32)
-                for c in canvases]
+        # phase 3: batched paint per crop position, one canvas download
+        canvases = jnp.zeros((n_tiles, h, w), jnp.int32)
+        for ci, (p, box) in enumerate(zip(per_pos, crop_boxes)):
+            ids_ci = np.stack([all_ids[ti][ci] for ti in range(n_tiles)])
+            if not ids_ci.any():
+                continue
+            paint = self._paint_packed_fn((p['nh'], p['nw'], box[0], box[1],
+                                           p['ch'], p['cw']))
+            canvases = paint(canvases, p['packed'], jnp.asarray(ids_ci))
+        out = np.asarray(canvases.astype(jnp.uint16)).astype(np.int32)
+        return [out[i] for i in range(n_tiles)]

@@ -19,14 +19,15 @@ class AttentionDS(nn.Module):
     embed_dim: int = 256
     num_heads: int = 8
     downsample_rate: int = 1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, q, k, v):
         dim = self.embed_dim // self.downsample_rate
         head_dim = dim // self.num_heads
-        qp = nn.Dense(dim, name='q_proj')(q)
-        kp = nn.Dense(dim, name='k_proj')(k)
-        vp = nn.Dense(dim, name='v_proj')(v)
+        qp = nn.Dense(dim, dtype=self.dtype, name='q_proj')(q)
+        kp = nn.Dense(dim, dtype=self.dtype, name='k_proj')(k)
+        vp = nn.Dense(dim, dtype=self.dtype, name='v_proj')(v)
 
         def split(x):
             b, n, _ = x.shape
@@ -34,11 +35,13 @@ class AttentionDS(nn.Module):
 
         qh, kh, vh = split(qp), split(kp), split(vp)
         attn = (qh @ kh.transpose(0, 1, 3, 2)) / (head_dim ** 0.5)
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = attn @ vh
+        # softmax in f32 for stability regardless of compute dtype
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+        out = attn.astype(vh.dtype) @ vh
         b, h, n, d = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
-        return nn.Dense(self.embed_dim, name='out_proj')(out)
+        return nn.Dense(self.embed_dim, dtype=self.dtype,
+                        name='out_proj')(out)
 
 
 class TwoWayAttentionBlock(nn.Module):
@@ -46,33 +49,40 @@ class TwoWayAttentionBlock(nn.Module):
     num_heads: int = 8
     mlp_dim: int = 2048
     skip_first_layer_pe: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, queries, keys, query_pe, key_pe):
         if self.skip_first_layer_pe:
             queries = AttentionDS(self.embed_dim, self.num_heads,
+                                  dtype=self.dtype,
                                   name='self_attn')(queries, queries, queries)
         else:
             q = queries + query_pe
             queries = queries + AttentionDS(self.embed_dim, self.num_heads,
+                                            dtype=self.dtype,
                                             name='self_attn')(q, q, queries)
         queries = nn.LayerNorm(epsilon=1e-5, name='norm1')(queries)
 
         q = queries + query_pe
         k = keys + key_pe
         queries = queries + AttentionDS(self.embed_dim, self.num_heads, 2,
+                                        dtype=self.dtype,
                                         name='cross_attn_token_to_image'
                                         )(q, k, keys)
         queries = nn.LayerNorm(epsilon=1e-5, name='norm2')(queries)
 
-        mlp = nn.Dense(self.mlp_dim, name='mlp_lin1')(queries)
+        mlp = nn.Dense(self.mlp_dim, dtype=self.dtype,
+                       name='mlp_lin1')(queries)
         mlp = nn.relu(mlp)
-        mlp = nn.Dense(self.embed_dim, name='mlp_lin2')(mlp)
+        mlp = nn.Dense(self.embed_dim, dtype=self.dtype,
+                       name='mlp_lin2')(mlp)
         queries = nn.LayerNorm(epsilon=1e-5, name='norm3')(queries + mlp)
 
         q = queries + query_pe
         k = keys + key_pe
         keys = keys + AttentionDS(self.embed_dim, self.num_heads, 2,
+                                  dtype=self.dtype,
                                   name='cross_attn_image_to_token'
                                   )(k, q, queries)
         keys = nn.LayerNorm(epsilon=1e-5, name='norm4')(keys)
@@ -84,6 +94,7 @@ class TwoWayTransformer(nn.Module):
     embed_dim: int = 256
     num_heads: int = 8
     mlp_dim: int = 2048
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, image_embedding, image_pe, point_embedding):
@@ -95,11 +106,13 @@ class TwoWayTransformer(nn.Module):
         for i in range(self.depth):
             queries, keys = TwoWayAttentionBlock(
                 self.embed_dim, self.num_heads, self.mlp_dim,
-                skip_first_layer_pe=(i == 0), name=f'layer{i}')(
+                skip_first_layer_pe=(i == 0), dtype=self.dtype,
+                name=f'layer{i}')(
                     queries, keys, point_embedding, key_pe)
         q = queries + point_embedding
         k = keys + key_pe
         queries = queries + AttentionDS(self.embed_dim, self.num_heads, 2,
+                                        dtype=self.dtype,
                                         name='final_attn_token_to_image'
                                         )(q, k, keys)
         queries = nn.LayerNorm(epsilon=1e-5, name='norm_final_attn')(queries)
@@ -111,12 +124,15 @@ class MLP(nn.Module):
     output_dim: int
     num_layers: int = 3
     sigmoid_output: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.num_layers - 1):
-            x = nn.relu(nn.Dense(self.hidden_dim, name=f'lin{i}')(x))
-        x = nn.Dense(self.output_dim, name=f'lin{self.num_layers - 1}')(x)
+            x = nn.relu(nn.Dense(self.hidden_dim, dtype=self.dtype,
+                                 name=f'lin{i}')(x))
+        x = nn.Dense(self.output_dim, dtype=self.dtype,
+                     name=f'lin{self.num_layers - 1}')(x)
         if self.sigmoid_output:
             x = jax.nn.sigmoid(x)
         return x
@@ -125,6 +141,7 @@ class MLP(nn.Module):
 class MaskDecoder(nn.Module):
     embed_dim: int = 256
     num_multimask_outputs: int = 3
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, image_embeddings, image_pe, sparse_prompt, dense_prompt,
@@ -147,7 +164,7 @@ class MaskDecoder(nn.Module):
 
         src = jnp.broadcast_to(image_embeddings,
                                (b, *image_embeddings.shape[1:])) + dense_prompt
-        hs, src = TwoWayTransformer(name='transformer')(
+        hs, src = TwoWayTransformer(dtype=self.dtype, name='transformer')(
             src, image_pe[None] if image_pe.ndim == 3 else image_pe, tokens)
         iou_token_out = hs[:, 0]
         mask_tokens_out = hs[:, 1:1 + num_mask_tokens]
@@ -155,19 +172,20 @@ class MaskDecoder(nn.Module):
         h, w = image_embeddings.shape[1:3]
         src = src.reshape(b, h, w, self.embed_dim)
         up = nn.ConvTranspose(self.embed_dim // 4, (2, 2), strides=(2, 2),
-                              name='upscale_conv1')(src)
+                              dtype=self.dtype, name='upscale_conv1')(src)
         up = LayerNorm2dDec(name='upscale_ln')(up)
         up = nn.gelu(up, approximate=False)
         up = nn.ConvTranspose(self.embed_dim // 8, (2, 2), strides=(2, 2),
-                              name='upscale_conv2')(up)
+                              dtype=self.dtype, name='upscale_conv2')(up)
         up = nn.gelu(up, approximate=False)          # (B, 4H, 4W, C/8)
 
         hyper_in = jnp.stack([
-            MLP(self.embed_dim, self.embed_dim // 8,
+            MLP(self.embed_dim, self.embed_dim // 8, dtype=self.dtype,
                 name=f'hyper_mlp{i}')(mask_tokens_out[:, i])
             for i in range(num_mask_tokens)], axis=1)  # (B, M, C/8)
         uh, uw = up.shape[1:3]
-        masks = jnp.einsum('bmc,bhwc->bmhw', hyper_in, up)
+        masks = jnp.einsum('bmc,bhwc->bmhw', hyper_in, up,
+                           preferred_element_type=jnp.float32)
         iou_pred = MLP(self.embed_dim, num_mask_tokens,
                        name='iou_prediction_head')(iou_token_out)
 
