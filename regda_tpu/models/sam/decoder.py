@@ -138,6 +138,37 @@ class MLP(nn.Module):
         return x
 
 
+class SubpixelConvT(nn.Module):
+    """2x2-stride-2 transposed conv expressed as one matmul + depth-to-space.
+
+    Non-overlapping k=s=2 windows make ConvTranspose exactly a per-pixel
+    linear map to 4 sub-pixels: out[2h+dy, 2w+dx, o] = x[h, w, :] @
+    kernel[dy, dx, :, o] + bias (lax applies the kernel spatially flipped).
+    Parameter names/shapes match nn.ConvTranspose, so the two are drop-in
+    interchangeable per checkpoint. Measured on v5e the XLA ConvTranspose
+    lowering was FASTER in the decoder (the depth-to-space transpose costs
+    more than the conv), so MaskDecoder uses nn.ConvTranspose; this module
+    is kept as the tested matmul-form alternative.
+    """
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c_in = x.shape
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (2, 2, c_in, self.features))
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        # lax.conv_transpose applies the kernel spatially FLIPPED
+        k = kernel[::-1, ::-1].astype(self.dtype).transpose(2, 0, 1, 3)
+        k = k.reshape(c_in, 4 * self.features)         # (Cin, dy*dx*Cout)
+        y = x.astype(self.dtype).reshape(b, h * w, c_in) @ k
+        y = y.reshape(b, h, w, 2, 2, self.features)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w,
+                                                  self.features)
+        return y + bias.astype(self.dtype)
+
+
 class MaskDecoder(nn.Module):
     embed_dim: int = 256
     num_multimask_outputs: int = 3

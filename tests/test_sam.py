@@ -300,3 +300,20 @@ def test_region_generator_budget_exceeds_grid(tiny_sam):
     assert out.shape == (64, 64)
     outs = gen.generate_regions_batch([img, img], area_threshold=4)
     np.testing.assert_array_equal(outs[0], out)
+
+
+def test_subpixel_convt_equals_conv_transpose():
+    """SubpixelConvT must be numerically identical to ConvTranspose
+    (2, 2)/s2 with the same kernel/bias params."""
+    import flax.linen as nn
+    from regda_tpu.models.sam.decoder import SubpixelConvT
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 5, 7, 6).astype(np.float32))
+    ref_mod = nn.ConvTranspose(4, (2, 2), strides=(2, 2))
+    sub_mod = SubpixelConvT(4)
+    v = ref_mod.init(jax.random.PRNGKey(0), x)
+    ref = ref_mod.apply(v, x)
+    got = sub_mod.apply(v, x)        # identical param tree
+    assert got.shape == ref.shape == (2, 10, 14, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
