@@ -101,16 +101,27 @@ def test_proto_accum_step(setup):
 
 
 def test_stage2_step_sharded_8dev(setup):
-    """Full stage-2 step over a (4 data x 2 spatial) CPU mesh."""
+    """Full stage-2 step over a (4 data x 2 spatial) CPU mesh.
+
+    Inputs are 32x32 (not the fixture's 64): eight virtual device programs
+    timeshare this box's single core, and XLA CPU aborts a collective whose
+    participants don't all arrive within its 40 s rendezvous window — the
+    per-device program must stay well under that budget even when the suite
+    has the machine loaded (same constraint as __graft_entry__'s dry run).
+    """
     model, tx, state = setup
     mesh = make_mesh(n_data=4, n_spatial=2)
     step = jax.jit(make_stage2_step(model, tx, num_classes=C),
                    out_shardings=None)
     state_r = jax.device_put(state, replicated_sharding(mesh))
-    images_s, label_s, images_t, regs_t, _ = _batch(5, b=8)
-    batch = shard_batch(mesh, dict(images_s=images_s, label_s=label_s,
-                                   images_t=images_t, regs_t=regs_t),
-                        spatial=True)
+    hw = 32
+    rng = np.random.default_rng(5)
+    batch = shard_batch(mesh, dict(
+        images_s=jnp.asarray(rng.normal(size=(8, hw, hw, 3)).astype(np.float32)),
+        label_s=jnp.asarray(rng.integers(0, C, size=(8, hw, hw)).astype(np.int32)),
+        images_t=jnp.asarray(rng.normal(size=(8, hw, hw, 3)).astype(np.float32)),
+        regs_t=jnp.asarray(rng.integers(0, 16, size=(8, hw, hw)).astype(np.int32)),
+    ), spatial=True)
     new_state, metrics = step(state_r, batch['images_s'], batch['label_s'],
                               batch['images_t'], batch['regs_t'])
     assert np.isfinite(float(metrics['total']))
