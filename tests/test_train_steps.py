@@ -102,8 +102,8 @@ def test_proto_accum_step(setup):
     assert float(c.sum()) > 0
 
 
-def test_stage2_step_sharded_8dev():
-    """Full stage-2 step over a (4 data x 2 spatial) CPU mesh, in a FRESH
+def test_stage2_step_sharded_mesh():
+    """Full stage-2 step over a (2 data x 2 spatial) CPU mesh, in a FRESH
     subprocess via the driver entry (`__graft_entry__.dryrun_multichip`).
 
     Running the 8-virtual-device collective program inside the long-lived
@@ -117,5 +117,8 @@ def test_stage2_step_sharded_8dev():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, root)
     import __graft_entry__ as entrymod
-    # self-isolating: runs in a retried child process (see its docstring)
-    entrymod.dryrun_multichip(8)
+    # self-isolating: runs in a retried child process (see its docstring).
+    # 4 devices (2 data x 2 spatial): same collectives, but half the
+    # spinning participants — XLA CPU's rendezvous livelock odds on this
+    # 1-core box grow steeply with thread count under load.
+    entrymod.dryrun_multichip(4)
