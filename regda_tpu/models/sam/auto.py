@@ -76,8 +76,10 @@ class Sam(nn.Module):
         Returns (low-res mask logits (P, 3, 256, 256), iou (P, 3))."""
         sparse, dense = self.prompt_encoder(points, labels)
         image_pe = self.prompt_encoder.get_dense_pe()
+        # point prompts share the no-mask dense embedding: batch-1 dense
+        # lets the decoder share layer-0 key projections across prompts
         masks, iou = self.mask_decoder(image_embedding, image_pe, sparse,
-                                       dense, multimask_output=True)
+                                       dense[:1], multimask_output=True)
         return masks, iou
 
     def __call__(self, image, points, labels):

@@ -193,8 +193,12 @@ class MaskDecoder(nn.Module):
                               (b, *output_tokens.shape)), sparse_prompt],
             axis=1)
 
-        src = jnp.broadcast_to(image_embeddings,
-                               (b, *image_embeddings.shape[1:])) + dense_prompt
+        # keys keep dense_prompt's batch: with the (1, H, W, C) dense of
+        # point-only prompting, layer-0's key-side projections compute ONCE
+        # and broadcast against the B query prompts — keys pick up batch B
+        # only at the first image-to-token update. Identical math, ~1/3
+        # less decoder matmul+HBM work in everything-mode.
+        src = image_embeddings + dense_prompt
         hs, src = TwoWayTransformer(dtype=self.dtype, name='transformer')(
             src, image_pe[None] if image_pe.ndim == 3 else image_pe, tokens)
         iou_token_out = hs[:, 0]

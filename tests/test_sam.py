@@ -317,3 +317,34 @@ def test_subpixel_convt_equals_conv_transpose():
     assert got.shape == ref.shape == (2, 10, 14, 4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_decoder_shared_dense_batch_equivalent(tiny_sam):
+    """Batch-1 dense prompt (shared-keys fast path) must produce the same
+    masks/ious as the per-prompt broadcast dense."""
+    model, variables = tiny_sam
+    emb = model.apply(variables, jnp.zeros((1, 128, 128, 3)),
+                      method=model.encode)
+    pts = jnp.asarray(np.random.RandomState(0).rand(5, 1, 2) * 128,
+                      jnp.float32)
+    lbs = jnp.ones((5, 1), jnp.int32)
+
+    def dec(dense_batch):
+        def fn(mdl):
+            sparse, dense = mdl.prompt_encoder(pts, lbs)
+            pe = mdl.prompt_encoder.get_dense_pe()
+            d = dense[:1] if dense_batch == 1 else dense
+            return mdl.mask_decoder(emb, pe, sparse, d)
+        return nn_apply(model, variables, fn)
+
+    import flax.linen as nn_mod
+
+    def nn_apply(mdl, vs, fn):
+        return nn_mod.apply(fn, mdl)(vs)
+
+    m1, i1 = dec(1)
+    mb, ib = dec(5)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(mb),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(i1), np.asarray(ib),
+                               rtol=1e-4, atol=1e-4)
