@@ -82,6 +82,30 @@ class Sam(nn.Module):
                                        dense[:1], multimask_output=True)
         return masks, iou
 
+    def decode_points_fast(self, image_embedding, points, labels,
+                           factored: bool = False,
+                           fused_upscale: bool = True):
+        """decode_points through the pure-function fast decoder (same
+        parameters, same math — see factored_decoder.py): optionally the
+        low-rank factored key state, and the Pallas fused
+        upscale+hypernetwork mask head (pallas_upscale.py)."""
+        from regda_tpu.models.sam.factored_decoder import mask_decoder_fast
+        sparse, dense = self.prompt_encoder(points, labels)
+        image_pe = self.prompt_encoder.get_dense_pe()
+        params = self.mask_decoder.variables['params']
+        return mask_decoder_fast(params, image_embedding, image_pe,
+                                 sparse, dense[:1], multimask_output=True,
+                                 dtype=self.dtype, factored=factored,
+                                 fused_upscale=fused_upscale)
+
+    def decode_points_factored(self, image_embedding, points, labels):
+        """decode_points through the low-rank factored decoder (same
+        parameters, same math reassociated — see factored_decoder.py).
+        Keeps the per-prompt key state as shared + thin factors instead of
+        materializing (P, 4096, 256) tensors between every decoder op."""
+        return self.decode_points_fast(image_embedding, points, labels,
+                                       factored=True, fused_upscale=False)
+
     def __call__(self, image, points, labels):
         emb = self.encode(image)
         return self.decode_points(emb, points, labels)
@@ -152,7 +176,19 @@ class SamAutomaticMaskGenerator:
                  crop_overlap_ratio: float = 512 / 1500,
                  crop_n_points_downscale_factor: int = 1,
                  mask_budget: int = 256,
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16,
+                 factored_decoder: Optional[bool] = None):
+        import os as _os
+        if factored_decoder is None:
+            # the factored decoder (factored_decoder.py) cuts decode HBM
+            # traffic ~3x but its thin-rank matmuls tile worse on the MXU;
+            # at points_per_batch=128 the stock decode measured faster,
+            # so it is opt-in
+            factored_decoder = bool(_os.environ.get('REGDA_FACTORED_SAM'))
+        self.factored_decoder = factored_decoder
+        # Pallas fused upscale+hypernetwork mask head (pallas_upscale.py);
+        # same escape hatch as the LRH kernel
+        self.fused_upscale = not _os.environ.get('REGDA_NO_PALLAS')
         self.model = model
         self.variables = jax.device_put(variables)
         self.points_per_side = points_per_side
@@ -186,19 +222,27 @@ class SamAutomaticMaskGenerator:
     def _decode_fn(self):
         if 'decode' not in self._jits:
             off = self.stability_score_offset
+            dt = self.compute_dtype
+            factored = self.factored_decoder
+            fused = self.fused_upscale
 
             def dec(variables, embedding, points):
                 """points: (P, 2) input-res xy -> per-mask scalars + logits."""
                 pts = points[:, None, :]
                 lbs = jnp.ones(pts.shape[:2], jnp.int32)
                 masks, iou = self.model.apply(
-                    variables, embedding, pts, lbs,
-                    method=self.model.decode_points)   # (P,3,256,256),(P,3)
+                    variables, embedding, pts, lbs, factored, fused,
+                    method=self.model.decode_points_fast)
+                # (P, 3, 256, 256), (P, 3)
                 m = masks.astype(jnp.float32)
                 inter = (m > off).sum(axis=(-2, -1)).astype(jnp.float32)
                 union = (m > -off).sum(axis=(-2, -1)).astype(jnp.float32)
                 stability = inter / jnp.maximum(union, 1.0)
-                return masks, iou, stability
+                # store logits in the compute dtype: halves the HBM cost of
+                # the scan-stacked (n_pts*3, 256, 256) candidate tensor and
+                # the selection matmul (thresholds downstream only compare
+                # against 0, insensitive to bf16 rounding)
+                return masks.astype(dt), iou, stability
 
             self._jits['decode'] = jax.jit(dec)
         return self._jits['decode']
@@ -238,7 +282,15 @@ class SamAutomaticMaskGenerator:
                 score = jnp.where(ok, jnp.arange(n, 0, -1, dtype=jnp.float32),
                                   0.0)
                 _, sel = jax.lax.top_k(score, min(budget, n))  # asc. index
-                return masks[sel], iou[sel], ok[sel]
+                # row-gather of the (n, 256, 256) logits as a one-hot matmul:
+                # XLA's native gather of big rows through this path measured
+                # ~150 ms/tile on v5e; the (budget, n) @ (n, 65536) matmul is
+                # MXU work at ~2 ms for the same selection
+                onehot = jax.nn.one_hot(sel, n, dtype=masks.dtype)
+                hw = masks.shape[-2:]
+                sel_masks = (onehot @ masks.reshape(n, hw[0] * hw[1])
+                             ).reshape(-1, *hw)
+                return sel_masks, iou[sel], ok[sel]
 
             self._jits[key] = jax.jit(dec_all)
         return self._jits[key]

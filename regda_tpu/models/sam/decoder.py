@@ -169,6 +169,43 @@ class SubpixelConvT(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+class UpscaleLinear(nn.Module):
+    """The per-pixel linear map of a 2x2-stride-2 ConvTranspose WITHOUT the
+    depth-to-space interleave: (..., C_in) -> (..., 2, 2, features).
+
+    Parameter names/shapes match nn.ConvTranspose (kernel (2,2,Cin,Cout) +
+    bias), so checkpoints convert unchanged; the spatial flip matches lax's
+    kernel convention (see SubpixelConvT, which is the equality-tested
+    interleaved form). Deferring the interleave lets the consumer contract
+    channels FIRST and interleave a 16x smaller tensor — profiled on v5e,
+    XLA's ConvTranspose lowering of upscale_conv2 ran at 120 GiB/s plus a
+    full-tensor layout copy (~8 ms of a ~20 ms decode chunk).
+
+    flatten=True keeps the subpixel axes merged into the channel dim
+    ((..., 4*features), block order (dy, dx, f)) so the op stays a plain
+    2-D GEMM with a wide minor dimension — small trailing dims like
+    (..., 2, 2, 32) push XLA into batch-minor layouts + full-tensor copies.
+    """
+    features: int
+    flatten: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (2, 2, c_in, self.features))
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        # lax.conv_transpose applies the kernel spatially FLIPPED
+        k = kernel[::-1, ::-1].astype(self.dtype).transpose(2, 0, 1, 3)
+        k = k.reshape(c_in, 4 * self.features)
+        y = x.astype(self.dtype) @ k
+        if self.flatten:
+            return y + jnp.tile(bias, 4).astype(self.dtype)
+        y = y.reshape(*x.shape[:-1], 2, 2, self.features)
+        return y + bias.astype(self.dtype)
+
+
 class MaskDecoder(nn.Module):
     embed_dim: int = 256
     num_multimask_outputs: int = 3
@@ -205,22 +242,36 @@ class MaskDecoder(nn.Module):
         mask_tokens_out = hs[:, 1:1 + num_mask_tokens]
 
         h, w = image_embeddings.shape[1:3]
-        src = src.reshape(b, h, w, self.embed_dim)
-        up = nn.ConvTranspose(self.embed_dim // 4, (2, 2), strides=(2, 2),
-                              dtype=self.dtype, name='upscale_conv1')(src)
+        c4, c8 = self.embed_dim // 4, self.embed_dim // 8
+        # 2x2/s2 ConvTransposes as flat 2-D GEMMs (wide channel minor dims:
+        # 256 -> 4*64 -> 4*(4*32)) with the depth-to-space interleave
+        # DEFERRED past the hypernetwork contraction: the (B, 4H, 4W, C/8)
+        # activation never exists in interleaved layout; only the 16x
+        # smaller (B, M, 4H, 4W) masks get reordered at the end. Identical
+        # math to the ConvTranspose form (UpscaleLinear shares
+        # SubpixelConvT's tested kernel convention).
+        up = UpscaleLinear(c4, flatten=True, dtype=self.dtype,
+                           name='upscale_conv1')(
+                               src.reshape(b, h * w, self.embed_dim))
+        up = up.reshape(b, h * w * 4, c4)            # blocks (dy, dx)
         up = LayerNorm2dDec(name='upscale_ln')(up)
         up = nn.gelu(up, approximate=False)
-        up = nn.ConvTranspose(self.embed_dim // 8, (2, 2), strides=(2, 2),
-                              dtype=self.dtype, name='upscale_conv2')(up)
-        up = nn.gelu(up, approximate=False)          # (B, 4H, 4W, C/8)
+        up = UpscaleLinear(c8, flatten=True, dtype=self.dtype,
+                           name='upscale_conv2')(up)  # (B, HW*4, 4*C/8)
+        up = nn.gelu(up, approximate=False)
+        up = up.reshape(b, h * w * 16, c8)            # blocks (dy,dx,gy,gx)
 
         hyper_in = jnp.stack([
             MLP(self.embed_dim, self.embed_dim // 8, dtype=self.dtype,
                 name=f'hyper_mlp{i}')(mask_tokens_out[:, i])
             for i in range(num_mask_tokens)], axis=1)  # (B, M, C/8)
-        uh, uw = up.shape[1:3]
-        masks = jnp.einsum('bmc,bhwc->bmhw', hyper_in, up,
+        masks = jnp.einsum('bpc,bmc->bmp', up, hyper_in,
                            preferred_element_type=jnp.float32)
+        # p = (((h*W + w)*2 + dy)*2 + dx)*4 + (gy*2 + gx): interleave to
+        # rows 4h + 2dy + gy, cols 4w + 2dx + gx
+        masks = masks.reshape(b, num_mask_tokens, h, w, 2, 2, 2, 2)
+        masks = masks.transpose(0, 1, 2, 4, 6, 3, 5, 7)
+        masks = masks.reshape(b, num_mask_tokens, 4 * h, 4 * w)
         iou_pred = MLP(self.embed_dim, num_mask_tokens,
                        name='iou_prediction_head')(iou_token_out)
 

@@ -1,0 +1,500 @@
+"""Factored SAM mask decoder: low-rank per-prompt key state.
+
+Everything-mode decodes B point prompts (B = points_per_batch, typically
+128) against ONE image embedding. The stock two-way transformer
+(decoder.py) replicates the (T=4096, C=256) image-token state per prompt
+the moment the first image-to-token update lands, and every subsequent
+key-side op (adds, LayerNorms, q/k/v projections of layers 1 and the final
+attention) streams those (B, T, C) tensors through HBM — profiled at 32%
+bandwidth / 6% FLOPs utilization on v5e, the dominant cost of SAM region
+generation (see PERF.md).
+
+This module removes that traffic by an exact algebraic reformulation, not
+an approximation. Each image-to-token attention update is
+
+    delta_b = concat_h(attn_b[h] @ vh_b[h]) @ W_out + b_out,
+
+and since attn_b[h] is (T, N) with N = 7 prompt tokens, delta_b has rank
+<= 8*N + 1 per prompt. The per-prompt key state therefore stays in the
+factored form
+
+    keys_b = diag(a_b) @ K  +  P_b @ Q_b
+
+with K a SHARED (T, C) matrix, a_b a per-token scale, P_b (T, r) and
+Q_b (r, C) thin factors (r grows 57 -> 59 -> 118 through the two layers).
+LayerNorm maps this form to itself: its per-token moments are computable
+from shared row-moments of K plus thin cross terms,
+
+    mu    = a * rowmean(K) + P @ rowmean(Q)
+    E[x^2] = a^2 * rowmean(K^2) + 2a * rowsum(P * F) + rowsum((P@M) * P),
+             F = (Q @ K^T / C)^T,  M = Q @ Q^T / C,
+
+and q/k/v projections distribute over the factors, so attention logits and
+outputs against the key state cost O(T * r) per prompt instead of
+O(T * C) materializations. Dense (B, T, C) keys are materialized exactly
+once, at the mask-upscaling input.
+
+Mathematically identical to decoder.MaskDecoder (same parameter tree; the
+equality is asserted in tests/test_sam.py); float ordering differs so
+results agree to rounding, not bitwise.
+
+Capability parity target: segment-anything's MaskDecoder/TwoWayTransformer
+as driven by the reference's everything-mode (regda/utils/
+local_region_homog.py:30-39); built TPU-first rather than ported.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class FactoredKeys(NamedTuple):
+    """Per-prompt key state  keys_b = diag(a_b) @ K + P_b @ Q_b.
+
+    a: (B, T) f32, K: (T, C) shared, P: (B, T, r), Q: (B, r, C).
+    """
+    a: jnp.ndarray
+    K: jnp.ndarray
+    P: jnp.ndarray
+    Q: jnp.ndarray
+
+
+def _dense(params, x, dtype):
+    return x.astype(dtype) @ params['kernel'].astype(dtype) + params[
+        'bias'].astype(dtype)
+
+
+def _split_heads(x, num_heads):
+    *lead, n, d = x.shape
+    return x.reshape(*lead, n, num_heads, d // num_heads)
+
+
+def fk_layernorm(fk: FactoredKeys, scale, bias, eps=1e-5) -> FactoredKeys:
+    """LayerNorm over channels of a factored key state, staying factored.
+
+    Moments in f32; the rank grows by 2 (columns for the -mu shift and the
+    LN bias).
+    """
+    a, K, P, Q = fk
+    c = K.shape[-1]
+    Kf = K.astype(jnp.float32)
+    Pf = P.astype(jnp.float32)
+    Qf = Q.astype(jnp.float32)
+    m_k = Kf.mean(-1)                                    # (T,)
+    s_k = (Kf * Kf).mean(-1)                             # (T,)
+    m_q = Qf.mean(-1)                                    # (B, r)
+    mu = a * m_k[None] + jnp.einsum('btr,br->bt', Pf, m_q)
+    # F[b,t,r] = (Q @ K^T)[b,r,t] / C ; M[b] = Q Q^T / C
+    f = jnp.einsum('brc,tc->btr', Qf, Kf) / c
+    m = jnp.einsum('brc,bsc->brs', Qf, Qf) / c
+    ex2 = (a * a * s_k[None]
+           + 2.0 * a * jnp.einsum('btr,btr->bt', Pf, f)
+           + jnp.einsum('btr,brs,bts->bt', Pf, m, Pf))
+    var = ex2 - mu * mu
+    s = jax.lax.rsqrt(var + eps)                         # (B, T)
+    w = scale.astype(jnp.float32)
+    dt = P.dtype
+    ones = jnp.ones_like(mu, dtype=dt)
+    new_p = jnp.concatenate(
+        [P * s[..., None].astype(dt),
+         (s * mu).astype(dt)[..., None],
+         ones[..., None]], axis=-1)
+    new_q = jnp.concatenate(
+        [Q * w.astype(dt)[None, None],
+         jnp.broadcast_to((-w).astype(dt)[None, None], (Q.shape[0], 1, c)),
+         jnp.broadcast_to(bias.astype(dt)[None, None], (Q.shape[0], 1, c))],
+        axis=1)
+    return FactoredKeys(a * s, K * w.astype(K.dtype), new_p, new_q)
+
+
+def fk_attn_logits(fk: FactoredKeys, pe, k_params, qh, num_heads, dtype):
+    """softmax logits of token->image attention against factored keys.
+
+    qh: (B, H, N, d) projected queries. k-side = k_proj(keys + pe); the
+    projection distributes over diag(a) K + P Q + pe + bias.
+    Returns (B, H, N, T) f32 (scaled by 1/sqrt(d)).
+    """
+    a, K, P, Q = fk
+    w = k_params['kernel'].astype(dtype)                 # (C, dim)
+    b = k_params['bias'].astype(dtype)
+    kw = _split_heads(K.astype(dtype) @ w, num_heads)    # (T, H, d) shared
+    pw = _split_heads(pe.astype(dtype) @ w + b, num_heads)
+    qw = _split_heads(jnp.einsum('brc,cd->brd', Q.astype(dtype), w),
+                      num_heads)                         # (B, r, H, d)
+    d = qh.shape[-1]
+    f32 = jnp.float32
+    t_k = jnp.einsum('bhnd,thd->bhnt', qh, kw,
+                     preferred_element_type=f32) * a[:, None, None, :]
+    t_pe = jnp.einsum('bhnd,thd->bhnt', qh, pw, preferred_element_type=f32)
+    y = jnp.einsum('bhnd,brhd->bhnr', qh, qw, preferred_element_type=f32)
+    t_p = jnp.einsum('bhnr,btr->bhnt', y.astype(dtype), P,
+                     preferred_element_type=f32)
+    return (t_k + t_pe + t_p) / (d ** 0.5)
+
+
+def fk_attn_values(fk: FactoredKeys, attn, v_params, num_heads, dtype):
+    """attn @ v_proj(keys) for factored keys (value side carries NO pe).
+
+    attn: (B, H, N, T) probabilities (rows sum to 1, so the projection
+    bias contributes exactly b_v). Returns (B, N, dim).
+    """
+    a, K, P, Q = fk
+    w = v_params['kernel'].astype(dtype)
+    b = v_params['bias'].astype(dtype)
+    kw = _split_heads(K.astype(dtype) @ w, num_heads)    # (T, H, d) shared
+    qw = _split_heads(jnp.einsum('brc,cd->brd', Q.astype(dtype), w),
+                      num_heads)                         # (B, r, H, d)
+    attn_a = (attn * a[:, None, None, :]).astype(dtype)
+    out = jnp.einsum('bhnt,thd->bhnd', attn_a, kw)
+    ap = jnp.einsum('bhnt,btr->bhnr', attn.astype(dtype), P)
+    out = out + jnp.einsum('bhnr,brhd->bhnd', ap, qw)
+    bsz, h, n, dd = out.shape
+    out = out.transpose(0, 2, 1, 3).reshape(bsz, n, h * dd)
+    return out + b
+
+
+def fk_query_side(fk: FactoredKeys, pe, q_params, num_heads, dtype):
+    """Image-to-token attention: q_proj(keys + pe) contracted against the
+    (tiny) token-side keys. Returns a function of kh (B, H, N, d) giving
+    logits (B, H, T, N) f32."""
+    a, K, P, Q = fk
+    w = q_params['kernel'].astype(dtype)
+    b = q_params['bias'].astype(dtype)
+    kw = _split_heads(K.astype(dtype) @ w, num_heads)    # (T, H, d) shared
+    pw = _split_heads(pe.astype(dtype) @ w + b, num_heads)
+    qw = _split_heads(jnp.einsum('brc,cd->brd', Q.astype(dtype), w),
+                      num_heads)                         # (B, r, H, d)
+
+    def logits(kh):
+        d = kh.shape[-1]
+        f32 = jnp.float32
+        t_k = jnp.einsum('thd,bhnd->bhtn', kw, kh,
+                         preferred_element_type=f32) * a[:, None, :, None]
+        t_pe = jnp.einsum('thd,bhnd->bhtn', pw, kh,
+                          preferred_element_type=f32)
+        y = jnp.einsum('brhd,bhnd->bhrn', qw, kh, preferred_element_type=f32)
+        t_p = jnp.einsum('btr,bhrn->bhtn', P, y.astype(dtype),
+                         preferred_element_type=f32)
+        return (t_k + t_pe + t_p) / (d ** 0.5)
+
+    return logits
+
+
+def fk_append_update(fk: FactoredKeys, attn_img, vh, out_params, dtype
+                     ) -> FactoredKeys:
+    """keys += out_proj(concat_h(attn_img[h] @ vh[h])): rank-(H*N+1) append.
+
+    attn_img: (B, H, T, N) probabilities; vh: (B, H, N, d) projected values.
+    """
+    a, K, P, Q = fk
+    b_total, h, t, n = attn_img.shape
+    d = vh.shape[-1]
+    w_out = out_params['kernel'].astype(dtype)           # (H*d, C)
+    b_out = out_params['bias'].astype(dtype)
+    # row block h of the new Q factor: vh[h] @ W_out[h*d:(h+1)*d]
+    w_blocks = w_out.reshape(h, d, -1)
+    vq = jnp.einsum('bhnd,hdc->bhnc', vh, w_blocks)      # (B, H, N, C)
+    new_p = attn_img.transpose(0, 2, 1, 3).reshape(b_total, t, h * n)
+    new_q = vq.reshape(b_total, h * n, -1)
+    ones = jnp.ones((b_total, t, 1), dtype)
+    bias_row = jnp.broadcast_to(b_out[None, None], (b_total, 1, K.shape[-1]))
+    return FactoredKeys(
+        a,
+        K,
+        jnp.concatenate([P, new_p.astype(dtype), ones], axis=-1),
+        jnp.concatenate([Q, new_q.astype(dtype), bias_row], axis=1))
+
+
+def fk_materialize(fk: FactoredKeys, dtype):
+    a, K, P, Q = fk
+    return (a[..., None].astype(dtype) * K.astype(dtype)[None]
+            + jnp.einsum('btr,brc->btc', P, Q))
+
+
+def _layernorm(x, scale, bias, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32)
+            + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def _attention_dense(params, q, k, v, num_heads, dtype):
+    """Stock attention: mirrors decoder.AttentionDS. jnp.matmul broadcasting
+    lets a batch-1 side (shared image tokens) pair with B-prompt tokens."""
+    qp = _dense(params['q_proj'], q, dtype)
+    kp = _dense(params['k_proj'], k, dtype)
+    vp = _dense(params['v_proj'], v, dtype)
+    d = qp.shape[-1] // num_heads
+
+    def split(x):
+        b, n, _ = x.shape
+        return x.reshape(b, n, num_heads, d).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = split(qp), split(kp), split(vp)
+    attn = (qh @ kh.swapaxes(-1, -2)) / (d ** 0.5)
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+    out = attn.astype(vh.dtype) @ vh
+    b, h, n, dd = out.shape
+    out = out.transpose(0, 2, 1, 3).reshape(b, n, h * dd)
+    return _dense(params['out_proj'], out, dtype)
+
+
+def _proj_heads(params, x, num_heads, dtype):
+    y = _dense(params, x, dtype)
+    b, n, dim = y.shape
+    return y.reshape(b, n, num_heads, dim // num_heads).transpose(0, 2, 1, 3)
+
+
+def _cross_t2i(params, queries, query_pe, fk, key_pe, num_heads, dtype):
+    """queries += Attn(q=queries+pe, k=keys+pe, v=keys) with factored keys."""
+    q = queries + query_pe
+    qh = _proj_heads(params['q_proj'], q, num_heads, dtype)
+    logits = fk_attn_logits(fk, key_pe, params['k_proj'], qh, num_heads,
+                            dtype)
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = fk_attn_values(fk, attn, params['v_proj'], num_heads, dtype)
+    return queries + _dense(params['out_proj'], out, dtype)
+
+
+def _cross_i2t(params, queries, query_pe, fk, key_pe, num_heads, dtype
+               ) -> FactoredKeys:
+    """keys += Attn(q=keys+pe, k=queries+pe, v=queries): factored append."""
+    q = queries + query_pe
+    kh = _proj_heads(params['k_proj'], q, num_heads, dtype)
+    vh = _proj_heads(params['v_proj'], queries, num_heads, dtype)
+    logits = fk_query_side(fk, key_pe, params['q_proj'], num_heads,
+                           dtype)(kh)
+    attn = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    return fk_append_update(fk, attn, vh, params['out_proj'], dtype)
+
+
+def _two_way_block(params, queries, fk, query_pe, key_pe,
+                   skip_first_layer_pe, num_heads, dtype):
+    if skip_first_layer_pe:
+        queries = _attention_dense(params['self_attn'], queries, queries,
+                                   queries, num_heads, dtype)
+    else:
+        q = queries + query_pe
+        queries = queries + _attention_dense(params['self_attn'], q, q,
+                                             queries, num_heads, dtype)
+    queries = _layernorm(queries, params['norm1']['scale'],
+                         params['norm1']['bias'])
+    queries = _cross_t2i(params['cross_attn_token_to_image'], queries,
+                         query_pe, fk, key_pe, num_heads, dtype)
+    queries = _layernorm(queries, params['norm2']['scale'],
+                         params['norm2']['bias'])
+    mlp = _dense(params['mlp_lin1'], queries, dtype)
+    mlp = jax.nn.relu(mlp)
+    mlp = _dense(params['mlp_lin2'], mlp, dtype)
+    queries = _layernorm(queries + mlp, params['norm3']['scale'],
+                         params['norm3']['bias'])
+    fk = _cross_i2t(params['cross_attn_image_to_token'], queries, query_pe,
+                    fk, key_pe, num_heads, dtype)
+    fk = fk_layernorm(fk, params['norm4']['scale'], params['norm4']['bias'])
+    return queries, fk
+
+
+def _two_way_block_dense(params, queries, keys, query_pe, key_pe,
+                         skip_first_layer_pe, num_heads, dtype):
+    """Stock (materialized-keys) twin of decoder.TwoWayAttentionBlock as a
+    pure function of the param tree; batch-1 keys broadcast to B prompts
+    lazily through jnp.matmul."""
+    if skip_first_layer_pe:
+        queries = _attention_dense(params['self_attn'], queries, queries,
+                                   queries, num_heads, dtype)
+    else:
+        q = queries + query_pe
+        queries = queries + _attention_dense(params['self_attn'], q, q,
+                                             queries, num_heads, dtype)
+    queries = _layernorm(queries, params['norm1']['scale'],
+                         params['norm1']['bias'])
+    q = queries + query_pe
+    k = keys + key_pe
+    queries = queries + _attention_dense(
+        params['cross_attn_token_to_image'], q, k, keys, num_heads, dtype)
+    queries = _layernorm(queries, params['norm2']['scale'],
+                         params['norm2']['bias'])
+    mlp = jax.nn.relu(_dense(params['mlp_lin1'], queries, dtype))
+    mlp = _dense(params['mlp_lin2'], mlp, dtype)
+    queries = _layernorm(queries + mlp, params['norm3']['scale'],
+                         params['norm3']['bias'])
+    q = queries + query_pe
+    k = keys + key_pe
+    keys = keys + _attention_dense(
+        params['cross_attn_image_to_token'], k, q, queries, num_heads, dtype)
+    keys = _layernorm(keys, params['norm4']['scale'], params['norm4']['bias'])
+    return queries, keys
+
+
+def two_way_transformer_dense(params, image_embedding, image_pe,
+                              point_embedding, num_heads=8,
+                              dtype=jnp.float32):
+    """Stock twin of decoder.TwoWayTransformer.__call__ as a pure function
+    (image side batch-1, shared across prompts until the first
+    image-to-token update — decoder.py's shared layer-0 fast path)."""
+    b1, h, w, c = image_embedding.shape
+    keys = image_embedding.reshape(b1, h * w, c).astype(dtype)
+    key_pe = image_pe.reshape(-1, h * w, c).astype(dtype)
+    queries = point_embedding.astype(dtype)
+    for i in range(2):
+        queries, keys = _two_way_block_dense(
+            params[f'layer{i}'], queries, keys,
+            point_embedding.astype(dtype), key_pe,
+            skip_first_layer_pe=(i == 0), num_heads=num_heads, dtype=dtype)
+    q = queries + point_embedding.astype(dtype)
+    k = keys + key_pe
+    queries = queries + _attention_dense(
+        params['final_attn_token_to_image'], q, k, keys, num_heads, dtype)
+    queries = _layernorm(queries, params['norm_final_attn']['scale'],
+                         params['norm_final_attn']['bias'])
+    return queries, keys
+
+
+def two_way_transformer_factored(params, image_embedding, image_pe,
+                                 point_embedding, num_heads=8,
+                                 dtype=jnp.float32):
+    """Factored twin of decoder.TwoWayTransformer.__call__.
+
+    image_embedding: (1, H, W, C) SHARED image tokens (batch must be 1 —
+    the whole point is that the image side is common to all prompts);
+    point_embedding: (B, N, C). Returns (queries (B, N, C),
+    keys (B, T, C) materialized in `dtype`).
+    """
+    b1, h, w, c = image_embedding.shape
+    assert b1 == 1, 'factored decoder requires a shared image embedding'
+    t = h * w
+    bsz = point_embedding.shape[0]
+    keys0 = image_embedding.reshape(t, c)
+    key_pe = image_pe.reshape(t, c)
+    queries = point_embedding.astype(dtype)
+    fk = FactoredKeys(
+        a=jnp.ones((bsz, t), jnp.float32),
+        K=keys0.astype(dtype),
+        P=jnp.zeros((bsz, t, 1), dtype),
+        Q=jnp.zeros((bsz, 1, c), dtype))
+    for i in range(2):
+        queries, fk = _two_way_block(
+            params[f'layer{i}'], queries, fk, point_embedding.astype(dtype),
+            key_pe, skip_first_layer_pe=(i == 0), num_heads=num_heads,
+            dtype=dtype)
+    queries = _cross_t2i(params['final_attn_token_to_image'], queries,
+                         point_embedding.astype(dtype), fk, key_pe,
+                         num_heads, dtype)
+    queries = _layernorm(queries, params['norm_final_attn']['scale'],
+                         params['norm_final_attn']['bias'])
+    return queries, fk_materialize(fk, dtype)
+
+
+def _upscale_linear_flat(params, x, dtype):
+    """2x2/s2 ConvTranspose as a flat per-pixel GEMM, depth-to-space
+    deferred: (..., C_in) -> (..., 4*features), channel blocks (dy, dx, f).
+    Mirrors decoder.UpscaleLinear(flatten=True)."""
+    kernel = params['kernel']
+    c_in = kernel.shape[2]
+    k = kernel[::-1, ::-1].astype(dtype).transpose(2, 0, 1, 3)
+    k = k.reshape(c_in, -1)
+    y = x.astype(dtype) @ k
+    return y + jnp.tile(params['bias'], 4).astype(dtype)
+
+
+def _layernorm2d(params, x, eps=1e-6):
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * params['weight'].astype(jnp.float32)
+            + params['bias'].astype(jnp.float32)).astype(x.dtype)
+
+
+def _mlp(params, x, num_layers, dtype, sigmoid_output=False):
+    for i in range(num_layers - 1):
+        x = jax.nn.relu(_dense(params[f'lin{i}'], x, dtype))
+    x = _dense(params[f'lin{num_layers - 1}'], x, dtype)
+    if sigmoid_output:
+        x = jax.nn.sigmoid(x)
+    return x
+
+
+def mask_decoder_fast(params, image_embeddings, image_pe, sparse_prompt,
+                      dense_prompt, multimask_output=True,
+                      num_multimask_outputs=3, num_heads=8,
+                      dtype=jnp.float32, factored=True,
+                      fused_upscale=False, mask_dtype=None):
+    """Pure-function twin of decoder.MaskDecoder.__call__ (same param tree)
+    with selectable fast paths:
+
+    - factored: low-rank per-prompt key state through the transformer
+      (two_way_transformer_factored) vs the stock materialized form.
+    - fused_upscale: the Pallas fused upscale+hypernetwork kernel
+      (pallas_upscale.py) vs flat GEMMs.
+
+    image_embeddings / dense_prompt must be batch-1 (shared across the B
+    sparse prompts) — exactly the everything-mode point-prompt setting.
+    """
+    num_mask_tokens = num_multimask_outputs + 1
+    b = sparse_prompt.shape[0]
+    output_tokens = jnp.concatenate([params['iou_token'],
+                                     params['mask_tokens']], axis=0)
+    tokens = jnp.concatenate(
+        [jnp.broadcast_to(output_tokens[None].astype(sparse_prompt.dtype),
+                          (b, *output_tokens.shape)), sparse_prompt], axis=1)
+
+    src_shared = image_embeddings + dense_prompt[:1]
+    transformer = (two_way_transformer_factored if factored
+                   else two_way_transformer_dense)
+    hs, src = transformer(
+        params['transformer'], src_shared,
+        image_pe[None] if image_pe.ndim == 3 else image_pe, tokens,
+        num_heads=num_heads, dtype=dtype)
+    iou_token_out = hs[:, 0]
+    mask_tokens_out = hs[:, 1:1 + num_mask_tokens]
+
+    h, w = image_embeddings.shape[1:3]
+    c = src.shape[-1]
+    hyper_in = jnp.stack([
+        _mlp(params[f'hyper_mlp{i}'], mask_tokens_out[:, i], 3, dtype)
+        for i in range(num_mask_tokens)], axis=1)
+    src = jnp.broadcast_to(src, (b, *src.shape[1:])).reshape(b, h, w, c)
+    mask_dtype = mask_dtype or jnp.float32
+    if fused_upscale:
+        from regda_tpu.models.sam.pallas_upscale import (
+            upscale_hyper_masks, upscale_params_from_decoder)
+        k1, b1, lnw, lnb, k2, b2 = upscale_params_from_decoder(params, dtype)
+        masks = upscale_hyper_masks(src, hyper_in, k1, b1, lnw, lnb, k2, b2,
+                                    out_dtype=mask_dtype)
+    else:
+        c4, c8 = c // 4, c // 8
+        up = _upscale_linear_flat(params['upscale_conv1'],
+                                  src.reshape(b, h * w, c), dtype)
+        up = _layernorm2d(params['upscale_ln'], up.reshape(b, h * w * 4, c4))
+        up = jax.nn.gelu(up, approximate=False)
+        up = _upscale_linear_flat(params['upscale_conv2'], up, dtype)
+        up = jax.nn.gelu(up, approximate=False)
+        up = up.reshape(b, h * w * 16, c8)         # blocks (dy, dx, gy, gx)
+        masks = jnp.einsum('bpc,bmc->bmp', up, hyper_in,
+                           preferred_element_type=jnp.float32)
+        masks = masks.reshape(b, num_mask_tokens, h, w, 2, 2, 2, 2)
+        masks = masks.transpose(0, 1, 2, 4, 6, 3, 5, 7)
+        masks = masks.reshape(b, num_mask_tokens, 4 * h, 4 * w)
+        masks = masks.astype(mask_dtype)
+    iou_pred = _mlp(params['iou_prediction_head'], iou_token_out, 3,
+                    jnp.float32)
+    if multimask_output:
+        return masks[:, 1:], iou_pred[:, 1:]
+    return masks[:, :1], iou_pred[:, :1]
+
+
+def mask_decoder_factored(params, image_embeddings, image_pe, sparse_prompt,
+                          dense_prompt, multimask_output=True,
+                          num_multimask_outputs=3, num_heads=8,
+                          dtype=jnp.float32):
+    """Factored twin of decoder.MaskDecoder.__call__ (same param tree)."""
+    return mask_decoder_fast(params, image_embeddings, image_pe,
+                             sparse_prompt, dense_prompt, multimask_output,
+                             num_multimask_outputs, num_heads, dtype,
+                             factored=True, fused_upscale=False)

@@ -1,0 +1,184 @@
+"""Pallas TPU kernel: SAM mask-decoder upscaling + hypernetwork fused.
+
+The decoder's mask head is
+
+    masks = hyper_in . gelu(ConvT2(gelu(LN(ConvT1(src)))))          (1)
+
+with ConvT1/ConvT2 2x2-stride-2 transposed convs (256->64->32 channels) and
+hyper_in a per-prompt (4, 32) hypernetwork. Everything-mode runs (1) for
+B=128 prompts per chunk: the interleaved (B, 256, 256, 32) activation is
+~536 MB of HBM traffic per step, and XLA's lowerings pick batch-minor
+layouts and full-tensor copies around it (profiled 120-470 GiB/s and
+~15 ms of a ~24 ms decode chunk on v5e; see PERF.md).
+
+Because a k=s=2 ConvTranspose is a per-pixel linear map, chain (1) is
+pointwise in the 64x64 source grid. This kernel streams src pixel-blocks
+through VMEM and keeps the subpixel axes folded into the channel (lane)
+dimension the whole way — every step is a plain GEMM, so nothing needs a
+Mosaic-unsupported relayout:
+
+    t1    = src (P, 256) @ K1 (256, 4*64)           ConvT1, blocks (d, f)
+    stats = t1 @ A, broadcast via S                 per-64-block LN moments
+    t2    = gelu(LN) (P, 256) @ kron(I4, K2)        ConvT2, blocks (d, g, c)
+    out   = gelu(t2) (P, 512) @ Hbd_b (512, 64)     hyper, cols (m, d, g)
+
+HBM traffic is one src read + one (B, HW, 64) blocked-masks write
+(~320 MB/chunk vs ~2.6 GB); the depth-to-space interleave happens outside
+the kernel on the 16x-smaller masks tensor.
+
+Equality: same math as decoder.MaskDecoder's UpscaleLinear path
+(tests/test_sam.py compares against it; gelu uses an erf approximation
+with |err| <= 1.5e-7 — Pallas TPU has no erf/erfc lowering — which is ~2
+decades below the bf16 rounding the stock path already carries).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _erf(x):
+    """erf via Abramowitz & Stegun 7.1.26 (|err| <= 1.5e-7)."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    y = 1.0 - ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t * jnp.exp(
+        -ax * ax)
+    return jnp.sign(x) * y
+
+
+def _gelu_exact(x):
+    """gelu in its erf form: 0.5*x*(1+erf(x/sqrt(2))). Internals in f32
+    (Mosaic rejects bf16 compares; the A&S polynomial wants f32 anyway)."""
+    xf = x.astype(jnp.float32)
+    return (0.5 * xf * (1.0 + _erf(xf * (2.0 ** -0.5)))).astype(x.dtype)
+
+
+def _kernel(src_ref, k1_ref, b1_ref, a_ref, s_ref, lnw_ref, lnb_ref,
+            k2bd_ref, b2_ref, hbd_ref, out_ref):
+    f32 = jnp.float32
+    dt = k1_ref.dtype
+    x = src_ref[0]                                       # (P, C)
+    t1 = jnp.dot(x, k1_ref[...], preferred_element_type=f32)
+    t1 = t1 + b1_ref[0][None, :]                         # (P, 4*c4)
+    # LN per 64-lane block, moments via pooling GEMMs: keeps the reduction
+    # on the MXU (lane-splitting reshapes don't lower; lane-slice VPU
+    # reductions measured ~30% slower end to end)
+    t1c = t1.astype(dt)
+    mu = jnp.dot(jnp.dot(t1c, a_ref[...], preferred_element_type=f32),
+                 s_ref[...], preferred_element_type=f32)
+    cen = t1 - mu
+    var = jnp.dot(jnp.dot((cen * cen).astype(dt), a_ref[...],
+                          preferred_element_type=f32),
+                  s_ref[...], preferred_element_type=f32)
+    y = cen * jax.lax.rsqrt(var + 1e-6)
+    y = (y * lnw_ref[0][None, :] + lnb_ref[0][None, :]).astype(dt)
+    y = _gelu_exact(y)
+    t2 = jnp.dot(y.astype(dt), k2bd_ref[...], preferred_element_type=f32)
+    t2 = (t2 + b2_ref[0][None, :]).astype(dt)            # (P, 16*c8)
+    t2 = _gelu_exact(t2)
+    out = jnp.dot(t2.astype(dt), hbd_ref[0], preferred_element_type=f32)
+    out_ref[0] = out.astype(out_ref.dtype)               # (P, M*16)
+
+
+@functools.partial(jax.jit, static_argnames=('out_dtype', 'interpret'))
+def upscale_hyper_masks(src, hyper_in, k1, b1, lnw, lnb, k2, b2,
+                        out_dtype=jnp.float32,
+                        interpret: bool | None = None):
+    """Fused mask head: src (B, H, W, C) + hyper_in (B, M, C//8) ->
+    masks (B, M, 4H, 4W).
+
+    k1 (C, 4*(C//4)) / k2 (C//4, 4*(C//8)): pre-flattened UpscaleLinear
+    kernels (block order (dy, dx, f)); b1/b2 the 4x-tiled biases; lnw/lnb
+    the LayerNorm2d affine over C//4.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    b, h, w, c = src.shape
+    m, c8 = hyper_in.shape[1:]
+    c4 = k1.shape[1] // 4
+    dt = k1.dtype
+    f32 = jnp.float32
+
+    # per-64-block mean pooling (A) + broadcast-back (S), lane-padded to 128
+    blocks = jnp.arange(4 * c4) // c4
+    cols = jnp.arange(128)
+    pool_a = (blocks[:, None] == cols[None, :]).astype(dt) / c4
+    pool_s = (cols[:, None] == blocks[None, :]).astype(f32)
+    lnw_t = jnp.tile(lnw[0], 4)[None].astype(f32)        # (1, 4*c4)
+    lnb_t = jnp.tile(lnb[0], 4)[None].astype(f32)
+    # ConvT2 on all 4 (dy, dx) blocks at once: block-diagonal GEMM
+    k2bd = jnp.kron(jnp.eye(4, dtype=dt), k2)            # (4*c4, 16*c8)
+    b2_t = jnp.tile(b2[0], 4)[None].astype(f32)
+    # per-prompt hypernetwork as a block-diagonal (16*c8, M*16) matrix:
+    # Hbd[b, blk*c8 + ch, m*16 + blk'] = hyper[b, m, ch] * (blk == blk')
+    hbd = jnp.einsum('dg,bmc->bdcmg', jnp.eye(16, dtype=dt),
+                     hyper_in.astype(dt)).reshape(b, 16 * c8, m * 16)
+
+    src_flat = src.reshape(b, h * w, c).astype(dt)
+    pix = min(1024, h * w)
+    grid = (b, (h * w) // pix)
+    out = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h * w, m * 16), out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, pix, c), lambda i, r: (i, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(k1.shape, lambda i, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b1.shape[1]), lambda i, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(pool_a.shape, lambda i, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(pool_s.shape, lambda i, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(lnw_t.shape, lambda i, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(lnb_t.shape, lambda i, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(k2bd.shape, lambda i, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(b2_t.shape, lambda i, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16 * c8, m * 16), lambda i, r: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, pix, m * 16), lambda i, r: (i, r, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(src_flat, k1, b1.astype(f32), pool_a, pool_s, lnw_t, lnb_t, k2bd,
+      b2_t, hbd)
+    # depth-to-space on the blocked masks: col = (m, dy, dx, gy, gx)
+    masks = out.reshape(b, h, w, m, 2, 2, 2, 2)
+    masks = masks.transpose(0, 3, 1, 4, 6, 2, 5, 7)
+    return masks.reshape(b, m, 4 * h, 4 * w)
+
+
+def upscale_params_from_decoder(params, dtype):
+    """Flatten a MaskDecoder param tree's upscale weights for the kernel.
+
+    Same transformations as decoder.UpscaleLinear(flatten=True): kernels
+    spatially flipped (lax ConvTranspose convention), reshaped to
+    (C_in, 4*C_out) with block order (dy, dx, f); biases tiled 4x.
+    """
+    def flat_kernel(kernel):
+        c_in = kernel.shape[2]
+        return (kernel[::-1, ::-1].astype(dtype).transpose(2, 0, 1, 3)
+                .reshape(c_in, -1))
+
+    k1 = flat_kernel(params['upscale_conv1']['kernel'])
+    b1 = jnp.tile(params['upscale_conv1']['bias'], 4).astype(
+        jnp.float32)[None]
+    k2 = flat_kernel(params['upscale_conv2']['kernel'])
+    b2 = jnp.tile(params['upscale_conv2']['bias'], 4).astype(
+        jnp.float32)[None]
+    lnw = params['upscale_ln']['weight'].astype(jnp.float32)[None]
+    lnb = params['upscale_ln']['bias'].astype(jnp.float32)[None]
+    return k1, b1, lnw, lnb, k2, b2

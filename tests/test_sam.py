@@ -348,3 +348,87 @@ def test_decoder_shared_dense_batch_equivalent(tiny_sam):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(i1), np.asarray(ib),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_factored_decoder_equals_stock():
+    """mask_decoder_factored is an exact algebraic reformulation of
+    MaskDecoder: same param tree, same outputs (to f32 rounding)."""
+    from regda_tpu.models.sam.decoder import MaskDecoder
+    from regda_tpu.models.sam.factored_decoder import mask_decoder_factored
+    dec = MaskDecoder(dtype=jnp.float32)
+    emb = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 256))
+    pe = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 256))
+    sparse = jax.random.normal(jax.random.PRNGKey(3), (5, 2, 256))
+    dense = jax.random.normal(jax.random.PRNGKey(4), (1, 8, 8, 256))
+    variables = dec.init(jax.random.PRNGKey(0), emb, pe, sparse, dense)
+    m0, i0 = dec.apply(variables, emb, pe, sparse, dense)
+    m1, i1 = mask_decoder_factored(variables['params'], emb, pe, sparse,
+                                   dense, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(i1), np.asarray(i0),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_decode_points_factored_matches_method():
+    """Sam.decode_points_factored == Sam.decode_points on an f32 model."""
+    model = Sam(vit_config='vit_t', img_size=128, dtype=jnp.float32)
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0)},
+        jnp.zeros((1, 128, 128, 3)),
+        jnp.zeros((1, 1, 2)), jnp.ones((1, 1), jnp.int32))
+    emb = model.apply(variables, jnp.zeros((1, 128, 128, 3)),
+                      method=model.encode)
+    pts = jnp.asarray(np.random.RandomState(0).rand(4, 1, 2) * 128,
+                      jnp.float32)
+    lbs = jnp.ones((4, 1), jnp.int32)
+    m0, i0 = model.apply(variables, emb, pts, lbs,
+                         method=model.decode_points)
+    m1, i1 = model.apply(variables, emb, pts, lbs,
+                         method=model.decode_points_factored)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(i1), np.asarray(i0),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_upscale_linear_matches_conv_transpose():
+    """UpscaleLinear + manual depth-to-space == nn.ConvTranspose(2,2)/s2
+    on the identical param tree."""
+    import flax.linen as nn
+    from regda_tpu.models.sam.decoder import UpscaleLinear
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 5, 7, 6).astype(np.float32))
+    ref_mod = nn.ConvTranspose(4, (2, 2), strides=(2, 2))
+    new_mod = UpscaleLinear(4)
+    v = ref_mod.init(jax.random.PRNGKey(0), x)
+    ref = ref_mod.apply(v, x)
+    got = new_mod.apply(v, x)            # (2, 5, 7, 2, 2, 4)
+    assert got.shape == (2, 5, 7, 2, 2, 4)
+    inter = got.transpose(0, 1, 3, 2, 4, 5).reshape(2, 10, 14, 4)
+    np.testing.assert_allclose(np.asarray(inter), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize('factored,fused', [(False, False), (False, True),
+                                            (True, True)])
+def test_mask_decoder_fast_variants_equal_stock(factored, fused):
+    """Every mask_decoder_fast configuration (dense/factored transformer x
+    GEMM/Pallas-fused upscale) equals the stock flax decoder in f32 (the
+    Pallas kernel runs in interpreter mode off-TPU)."""
+    from regda_tpu.models.sam.decoder import MaskDecoder
+    from regda_tpu.models.sam.factored_decoder import mask_decoder_fast
+    dec = MaskDecoder(dtype=jnp.float32)
+    emb = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 256))
+    pe = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 256))
+    sparse = jax.random.normal(jax.random.PRNGKey(3), (5, 2, 256))
+    dense = jax.random.normal(jax.random.PRNGKey(4), (1, 8, 8, 256))
+    variables = dec.init(jax.random.PRNGKey(0), emb, pe, sparse, dense)
+    m0, i0 = dec.apply(variables, emb, pe, sparse, dense)
+    m1, i1 = mask_decoder_fast(variables['params'], emb, pe, sparse, dense,
+                               dtype=jnp.float32, factored=factored,
+                               fused_upscale=fused)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(i1), np.asarray(i0),
+                               rtol=1e-4, atol=1e-4)
