@@ -88,6 +88,13 @@ class Attention(nn.Module):
     use_rel_pos: bool = True
     input_size: tuple[int, int] = (14, 14)
     dtype: jnp.dtype = jnp.float32
+    # fuse the rel-pos bias + softmax into a Pallas kernel so the (N, N)
+    # logits never reach HBM — the XLA lowering of the decomposed bias add
+    # materializes two (heads, N, N) f32 broadcasts plus two layout-change
+    # reshapes, ~15 ms per 4096-token layer on v5e (PERF.md). Enabled by
+    # Block for global-attention layers; identical math, rounding-level
+    # equality asserted in tests/test_sam.py.
+    pallas_fused: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -99,16 +106,33 @@ class Attention(nn.Module):
         qkv = qkv.transpose(2, 0, 3, 1, 4).reshape(3, b * self.num_heads,
                                                    h * w, head_dim)
         q, k, v = qkv[0], qkv[1], qkv[2]
-        attn = (q * scale) @ k.transpose(0, 2, 1)
         if self.use_rel_pos:
             rel_pos_h = self.param('rel_pos_h', nn.initializers.zeros,
                                    (2 * self.input_size[0] - 1, head_dim))
             rel_pos_w = self.param('rel_pos_w', nn.initializers.zeros,
                                    (2 * self.input_size[1] - 1, head_dim))
-            attn = _add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w,
-                                           (h, w), (h, w))
-        attn = jax.nn.softmax(attn, axis=-1)
-        x = (attn @ v).reshape(b, self.num_heads, h * w, head_dim)
+        if self.use_rel_pos and self.pallas_fused:
+            from regda_tpu.models.sam.pallas_attention import (
+                attention_with_rel_bias)
+            rh = _get_rel_pos(h, h, rel_pos_h)             # (h, h, hd)
+            rw = _get_rel_pos(w, w, rel_pos_w)
+            r_q = q.reshape(-1, h, w, head_dim)
+            f32 = jnp.float32
+            rel_h = jnp.einsum('bhwc,hkc->bhwk', r_q, rh,
+                               preferred_element_type=f32)
+            rel_w = jnp.einsum('bhwc,wkc->bhwk', r_q, rw,
+                               preferred_element_type=f32)
+            x = attention_with_rel_bias(
+                q, k, v, rel_h.reshape(-1, h * w, h),
+                rel_w.reshape(-1, h * w, w), scale=scale, kh=h, kw=w)
+            x = x.reshape(b, self.num_heads, h * w, head_dim)
+        else:
+            attn = (q * scale) @ k.transpose(0, 2, 1)
+            if self.use_rel_pos:
+                attn = _add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w,
+                                               (h, w), (h, w))
+            attn = jax.nn.softmax(attn, axis=-1)
+            x = (attn @ v).reshape(b, self.num_heads, h * w, head_dim)
         x = x.transpose(0, 2, 1, 3).reshape(b, h, w, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name='proj')(x)
 
@@ -151,8 +175,11 @@ class Block(nn.Module):
             attn_size = (self.window_size, self.window_size)
         else:
             attn_size = self.input_size
+        import os as _os
+        fused = (self.window_size == 0
+                 and not _os.environ.get('REGDA_NO_PALLAS'))
         y = Attention(self.dim, self.num_heads, input_size=attn_size,
-                      dtype=self.dtype, name='attn')(y)
+                      dtype=self.dtype, pallas_fused=fused, name='attn')(y)
         if self.window_size > 0:
             y = window_unpartition(y, self.window_size, pad_hw, hw)
         x = shortcut + y

@@ -432,3 +432,21 @@ def test_mask_decoder_fast_variants_equal_stock(factored, fused):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(i1), np.asarray(i0),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_attention_pallas_fused_equals_stock():
+    """Global attention with the fused Pallas rel-bias kernel == the stock
+    XLA path on the identical param tree (f32, interpret mode off-TPU)."""
+    from regda_tpu.models.sam.vit import Attention
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 64))
+    stock = Attention(64, 2, input_size=(8, 8), dtype=jnp.float32)
+    fused = Attention(64, 2, input_size=(8, 8), dtype=jnp.float32,
+                      pallas_fused=True)
+    v = stock.init(jax.random.PRNGKey(1), x)
+    # zeros-init rel tables are degenerate; use random ones
+    v = jax.tree.map(lambda a: jax.random.normal(
+        jax.random.PRNGKey(hash(str(a.shape)) % 2**31), a.shape) * 0.1, v)
+    ref = stock.apply(v, x)
+    got = fused.apply(v, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
