@@ -84,7 +84,8 @@ class Sam(nn.Module):
 
     def decode_points_fast(self, image_embedding, points, labels,
                            factored: bool = False,
-                           fused_upscale: bool = True):
+                           fused_upscale: bool = True,
+                           mask_dtype=None):
         """decode_points through the pure-function fast decoder (same
         parameters, same math — see factored_decoder.py): optionally the
         low-rank factored key state, and the Pallas fused
@@ -96,7 +97,8 @@ class Sam(nn.Module):
         return mask_decoder_fast(params, image_embedding, image_pe,
                                  sparse, dense[:1], multimask_output=True,
                                  dtype=self.dtype, factored=factored,
-                                 fused_upscale=fused_upscale)
+                                 fused_upscale=fused_upscale,
+                                 mask_dtype=mask_dtype)
 
     def decode_points_factored(self, image_embedding, points, labels):
         """decode_points through the low-rank factored decoder (same
@@ -230,19 +232,24 @@ class SamAutomaticMaskGenerator:
                 """points: (P, 2) input-res xy -> per-mask scalars + logits."""
                 pts = points[:, None, :]
                 lbs = jnp.ones(pts.shape[:2], jnp.int32)
+                # masks come back already in the compute dtype: halves the
+                # mask head's output write, the scan-stacked
+                # (n_pts*3, 256, 256) candidate tensor, and the selection
+                # matmul (downstream thresholds only compare against 0,
+                # insensitive to bf16 rounding)
                 masks, iou = self.model.apply(
-                    variables, embedding, pts, lbs, factored, fused,
+                    variables, embedding, pts, lbs, factored, fused, dt,
                     method=self.model.decode_points_fast)
                 # (P, 3, 256, 256), (P, 3)
-                m = masks.astype(jnp.float32)
-                inter = (m > off).sum(axis=(-2, -1)).astype(jnp.float32)
-                union = (m > -off).sum(axis=(-2, -1)).astype(jnp.float32)
+                # stability straight off the compute-dtype logits — the off
+                # thresholds (+-1.0) are exact in bf16, and summing the
+                # boolean compares in f32 avoids an f32 copy of the masks
+                inter = (masks > off).sum(axis=(-2, -1),
+                                          dtype=jnp.float32)
+                union = (masks > -off).sum(axis=(-2, -1),
+                                           dtype=jnp.float32)
                 stability = inter / jnp.maximum(union, 1.0)
-                # store logits in the compute dtype: halves the HBM cost of
-                # the scan-stacked (n_pts*3, 256, 256) candidate tensor and
-                # the selection matmul (thresholds downstream only compare
-                # against 0, insensitive to bf16 rounding)
-                return masks.astype(dt), iou, stability
+                return masks, iou, stability
 
             self._jits['decode'] = jax.jit(dec)
         return self._jits['decode']

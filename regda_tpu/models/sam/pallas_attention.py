@@ -76,8 +76,11 @@ def attention_with_rel_bias(q, k, v, rh, rw, *, scale: float, kh: int,
     cols = jnp.arange(n)
     eh = (cols[None, :] // kw == jnp.arange(kh)[:, None]).astype(f32)
     ew = (cols[None, :] % kw == jnp.arange(kw)[:, None]).astype(f32)
+    # qb=256 keeps the f32 logits block + its exp at 4 MB each — inside the
+    # 16 MB scoped-VMEM budget with K/V and the expansion matrices (qb=512
+    # OOMs the scoped allocator at N=4096)
     qb = n
-    for cand in (512, 256, 128):
+    for cand in (256, 128):
         if n % cand == 0:
             qb = cand
             break
