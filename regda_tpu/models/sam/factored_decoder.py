@@ -54,12 +54,25 @@ import jax.numpy as jnp
 class FactoredKeys(NamedTuple):
     """Per-prompt key state  keys_b = diag(a_b) @ K + P_b @ Q_b.
 
-    a: (B, T) f32, K: (T, C) shared, P: (B, T, r), Q: (B, r, C).
+    a: (B, T) f32, K: (T, C) shared, P: (B, T, R), Q: (B, R, C).
+
+    R is a STATIC padded rank (default 128): unused columns of P / rows of
+    Q are zero and contribute nothing to any contraction, so every op can
+    run on the full lane-aligned R. The used rank grows 0 -> 57 -> 59 ->
+    116 -> 118 through the two decoder layers; growth writes into the
+    preallocated buffer at static offsets (`used` below) instead of
+    concatenating — profiled on v5e, the concat form spent ~5 ms per
+    128-prompt chunk relayouting odd-rank (B, 4096, 57..118) tensors.
     """
     a: jnp.ndarray
     K: jnp.ndarray
     P: jnp.ndarray
     Q: jnp.ndarray
+
+
+#: padded static rank: >= 2 * (heads * tokens + 1) + 4 for SAM's 7 prompt
+#: tokens / 8 heads; lane-width aligned
+RANK_PAD = 128
 
 
 def _dense(params, x, dtype):
@@ -72,11 +85,12 @@ def _split_heads(x, num_heads):
     return x.reshape(*lead, n, num_heads, d // num_heads)
 
 
-def fk_layernorm(fk: FactoredKeys, scale, bias, eps=1e-5) -> FactoredKeys:
+def fk_layernorm(fk: FactoredKeys, scale, bias, used: int,
+                 eps=1e-5) -> FactoredKeys:
     """LayerNorm over channels of a factored key state, staying factored.
 
-    Moments in f32; the rank grows by 2 (columns for the -mu shift and the
-    LN bias).
+    Moments in f32; the used rank grows by 2 (columns for the -mu shift and
+    the LN bias, written at static offset `used` into the padded buffers).
     """
     a, K, P, Q = fk
     c = K.shape[-1]
@@ -85,7 +99,7 @@ def fk_layernorm(fk: FactoredKeys, scale, bias, eps=1e-5) -> FactoredKeys:
     Qf = Q.astype(jnp.float32)
     m_k = Kf.mean(-1)                                    # (T,)
     s_k = (Kf * Kf).mean(-1)                             # (T,)
-    m_q = Qf.mean(-1)                                    # (B, r)
+    m_q = Qf.mean(-1)                                    # (B, R)
     mu = a * m_k[None] + jnp.einsum('btr,br->bt', Pf, m_q)
     # F[b,t,r] = (Q @ K^T)[b,r,t] / C ; M[b] = Q Q^T / C
     f = jnp.einsum('brc,tc->btr', Qf, Kf) / c
@@ -97,16 +111,16 @@ def fk_layernorm(fk: FactoredKeys, scale, bias, eps=1e-5) -> FactoredKeys:
     s = jax.lax.rsqrt(var + eps)                         # (B, T)
     w = scale.astype(jnp.float32)
     dt = P.dtype
-    ones = jnp.ones_like(mu, dtype=dt)
-    new_p = jnp.concatenate(
-        [P * s[..., None].astype(dt),
-         (s * mu).astype(dt)[..., None],
-         ones[..., None]], axis=-1)
-    new_q = jnp.concatenate(
-        [Q * w.astype(dt)[None, None],
-         jnp.broadcast_to((-w).astype(dt)[None, None], (Q.shape[0], 1, c)),
-         jnp.broadcast_to(bias.astype(dt)[None, None], (Q.shape[0], 1, c))],
-        axis=1)
+    bsz, t, _ = P.shape
+    new_cols = jnp.stack([(s * mu).astype(dt),
+                          jnp.ones_like(mu, dtype=dt)], axis=-1)
+    new_p = jax.lax.dynamic_update_slice(
+        P * s[..., None].astype(dt), new_cols, (0, 0, used))
+    new_rows = jnp.stack(
+        [jnp.broadcast_to((-w).astype(dt)[None], (bsz, c)),
+         jnp.broadcast_to(bias.astype(dt)[None], (bsz, c))], axis=1)
+    new_q = jax.lax.dynamic_update_slice(
+        Q * w.astype(dt)[None, None], new_rows, (0, used, 0))
     return FactoredKeys(a * s, K * w.astype(K.dtype), new_p, new_q)
 
 
@@ -183,9 +197,10 @@ def fk_query_side(fk: FactoredKeys, pe, q_params, num_heads, dtype):
     return logits
 
 
-def fk_append_update(fk: FactoredKeys, attn_img, vh, out_params, dtype
-                     ) -> FactoredKeys:
-    """keys += out_proj(concat_h(attn_img[h] @ vh[h])): rank-(H*N+1) append.
+def fk_append_update(fk: FactoredKeys, attn_img, vh, out_params, dtype,
+                     used: int) -> FactoredKeys:
+    """keys += out_proj(concat_h(attn_img[h] @ vh[h])): rank-(H*N+1) append
+    written at static offset `used` into the padded buffers.
 
     attn_img: (B, H, T, N) probabilities; vh: (B, H, N, d) projected values.
     """
@@ -198,14 +213,18 @@ def fk_append_update(fk: FactoredKeys, attn_img, vh, out_params, dtype
     w_blocks = w_out.reshape(h, d, -1)
     vq = jnp.einsum('bhnd,hdc->bhnc', vh, w_blocks)      # (B, H, N, C)
     new_p = attn_img.transpose(0, 2, 1, 3).reshape(b_total, t, h * n)
-    new_q = vq.reshape(b_total, h * n, -1)
     ones = jnp.ones((b_total, t, 1), dtype)
+    new_q = vq.reshape(b_total, h * n, -1)
     bias_row = jnp.broadcast_to(b_out[None, None], (b_total, 1, K.shape[-1]))
     return FactoredKeys(
         a,
         K,
-        jnp.concatenate([P, new_p.astype(dtype), ones], axis=-1),
-        jnp.concatenate([Q, new_q.astype(dtype), bias_row], axis=1))
+        jax.lax.dynamic_update_slice(
+            P, jnp.concatenate([new_p.astype(dtype), ones], axis=-1),
+            (0, 0, used)),
+        jax.lax.dynamic_update_slice(
+            Q, jnp.concatenate([new_q.astype(dtype), bias_row], axis=1),
+            (0, used, 0)))
 
 
 def fk_materialize(fk: FactoredKeys, dtype):
@@ -261,8 +280,8 @@ def _cross_t2i(params, queries, query_pe, fk, key_pe, num_heads, dtype):
     return queries + _dense(params['out_proj'], out, dtype)
 
 
-def _cross_i2t(params, queries, query_pe, fk, key_pe, num_heads, dtype
-               ) -> FactoredKeys:
+def _cross_i2t(params, queries, query_pe, fk, key_pe, num_heads, dtype,
+               used: int) -> FactoredKeys:
     """keys += Attn(q=keys+pe, k=queries+pe, v=queries): factored append."""
     q = queries + query_pe
     kh = _proj_heads(params['k_proj'], q, num_heads, dtype)
@@ -270,11 +289,11 @@ def _cross_i2t(params, queries, query_pe, fk, key_pe, num_heads, dtype
     logits = fk_query_side(fk, key_pe, params['q_proj'], num_heads,
                            dtype)(kh)
     attn = jax.nn.softmax(logits, axis=-1).astype(dtype)
-    return fk_append_update(fk, attn, vh, params['out_proj'], dtype)
+    return fk_append_update(fk, attn, vh, params['out_proj'], dtype, used)
 
 
 def _two_way_block(params, queries, fk, query_pe, key_pe,
-                   skip_first_layer_pe, num_heads, dtype):
+                   skip_first_layer_pe, num_heads, dtype, used: int):
     if skip_first_layer_pe:
         queries = _attention_dense(params['self_attn'], queries, queries,
                                    queries, num_heads, dtype)
@@ -294,9 +313,12 @@ def _two_way_block(params, queries, fk, query_pe, key_pe,
     queries = _layernorm(queries + mlp, params['norm3']['scale'],
                          params['norm3']['bias'])
     fk = _cross_i2t(params['cross_attn_image_to_token'], queries, query_pe,
-                    fk, key_pe, num_heads, dtype)
-    fk = fk_layernorm(fk, params['norm4']['scale'], params['norm4']['bias'])
-    return queries, fk
+                    fk, key_pe, num_heads, dtype, used)
+    used += num_heads * queries.shape[1] + 1
+    fk = fk_layernorm(fk, params['norm4']['scale'], params['norm4']['bias'],
+                      used)
+    used += 2
+    return queries, fk, used
 
 
 def _two_way_block_dense(params, queries, keys, query_pe, key_pe,
@@ -369,19 +391,23 @@ def two_way_transformer_factored(params, image_embedding, image_pe,
     assert b1 == 1, 'factored decoder requires a shared image embedding'
     t = h * w
     bsz = point_embedding.shape[0]
+    n_tok = point_embedding.shape[1]
+    rank_need = 2 * (num_heads * n_tok + 1 + 2)
+    rank = RANK_PAD if rank_need <= RANK_PAD else rank_need
     keys0 = image_embedding.reshape(t, c)
     key_pe = image_pe.reshape(t, c)
     queries = point_embedding.astype(dtype)
     fk = FactoredKeys(
         a=jnp.ones((bsz, t), jnp.float32),
         K=keys0.astype(dtype),
-        P=jnp.zeros((bsz, t, 1), dtype),
-        Q=jnp.zeros((bsz, 1, c), dtype))
+        P=jnp.zeros((bsz, t, rank), dtype),
+        Q=jnp.zeros((bsz, rank, c), dtype))
+    used = 0
     for i in range(2):
-        queries, fk = _two_way_block(
+        queries, fk, used = _two_way_block(
             params[f'layer{i}'], queries, fk, point_embedding.astype(dtype),
             key_pe, skip_first_layer_pe=(i == 0), num_heads=num_heads,
-            dtype=dtype)
+            dtype=dtype, used=used)
     queries = _cross_t2i(params['final_attn_token_to_image'], queries,
                          point_embedding.astype(dtype), fk, key_pe,
                          num_heads, dtype)

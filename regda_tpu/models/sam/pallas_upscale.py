@@ -18,8 +18,8 @@ dimension the whole way — every step is a plain GEMM, so nothing needs a
 Mosaic-unsupported relayout:
 
     t1    = src (P, 256) @ K1 (256, 4*64)           ConvT1, blocks (d, f)
-    stats = t1 @ A, broadcast via S                 per-64-block LN moments
-    t2    = gelu(LN) (P, 256) @ kron(I4, K2)        ConvT2, blocks (d, g, c)
+    stats = t1 @ M (block-average matrix)           per-64-block LN moments
+    t2    = gelu(LN) halves @ kron(I2, K2)          ConvT2, blocks (d, g, c)
     out   = gelu(t2) (P, 512) @ Hbd_b (512, 64)     hyper, cols (m, d, g)
 
 HBM traffic is one src read + one (B, HW, 64) blocked-masks write
@@ -60,27 +60,34 @@ def _gelu_exact(x):
     return (0.5 * xf * (1.0 + _erf(xf * (2.0 ** -0.5)))).astype(x.dtype)
 
 
-def _kernel(src_ref, k1_ref, b1_ref, a_ref, s_ref, lnw_ref, lnb_ref,
+def _kernel(src_ref, k1_ref, b1_ref, m_ref, lnw_ref, lnb_ref,
             k2bd_ref, b2_ref, hbd_ref, out_ref):
     f32 = jnp.float32
     dt = k1_ref.dtype
     x = src_ref[0]                                       # (P, C)
     t1 = jnp.dot(x, k1_ref[...], preferred_element_type=f32)
     t1 = t1 + b1_ref[0][None, :]                         # (P, 4*c4)
-    # LN per 64-lane block, moments via pooling GEMMs: keeps the reduction
-    # on the MXU (lane-splitting reshapes don't lower; lane-slice VPU
-    # reductions measured ~30% slower end to end)
+    # LN per 64-lane block, moments via ONE block-average GEMM each (the
+    # pool+broadcast-back matrix pair costs 2x; lane-splitting reshapes
+    # don't lower and lane-slice VPU reductions measured ~30% slower)
     t1c = t1.astype(dt)
-    mu = jnp.dot(jnp.dot(t1c, a_ref[...], preferred_element_type=f32),
-                 s_ref[...], preferred_element_type=f32)
+    mu = jnp.dot(t1c, m_ref[...], preferred_element_type=f32)
     cen = t1 - mu
-    var = jnp.dot(jnp.dot((cen * cen).astype(dt), a_ref[...],
-                          preferred_element_type=f32),
-                  s_ref[...], preferred_element_type=f32)
+    var = jnp.dot((cen * cen).astype(dt), m_ref[...],
+                  preferred_element_type=f32)
     y = cen * jax.lax.rsqrt(var + 1e-6)
     y = (y * lnw_ref[0][None, :] + lnb_ref[0][None, :]).astype(dt)
     y = _gelu_exact(y)
-    t2 = jnp.dot(y.astype(dt), k2bd_ref[...], preferred_element_type=f32)
+    # ConvT2 as TWO half-width block-diagonal GEMMs on 128-lane-aligned
+    # slices of y (blocks (dy=0,dx=*) and (dy=1,dx=*)): kron(I2, k2)
+    # carries 2x flop padding vs the old kron(I4, k2)'s 4x, and both dots
+    # keep full K=128/N=256 MXU shapes
+    half = y.shape[-1] // 2
+    k2bd = k2bd_ref[...]
+    t2 = jnp.concatenate(
+        [jnp.dot(y[:, :half].astype(dt), k2bd, preferred_element_type=f32),
+         jnp.dot(y[:, half:].astype(dt), k2bd, preferred_element_type=f32)],
+        axis=-1)
     t2 = (t2 + b2_ref[0][None, :]).astype(dt)            # (P, 16*c8)
     t2 = _gelu_exact(t2)
     out = jnp.dot(t2.astype(dt), hbd_ref[0], preferred_element_type=f32)
@@ -106,15 +113,15 @@ def upscale_hyper_masks(src, hyper_in, k1, b1, lnw, lnb, k2, b2,
     dt = k1.dtype
     f32 = jnp.float32
 
-    # per-64-block mean pooling (A) + broadcast-back (S), lane-padded to 128
+    # per-64-block averaging as one (4*c4, 4*c4) block-diagonal matrix:
+    # mu_bcast = t1 @ M with M[c', c] = [block(c') == block(c)] / c4
     blocks = jnp.arange(4 * c4) // c4
-    cols = jnp.arange(128)
-    pool_a = (blocks[:, None] == cols[None, :]).astype(dt) / c4
-    pool_s = (cols[:, None] == blocks[None, :]).astype(f32)
+    pool_m = (blocks[:, None] == blocks[None, :]).astype(dt) / c4
     lnw_t = jnp.tile(lnw[0], 4)[None].astype(f32)        # (1, 4*c4)
     lnb_t = jnp.tile(lnb[0], 4)[None].astype(f32)
-    # ConvT2 on all 4 (dy, dx) blocks at once: block-diagonal GEMM
-    k2bd = jnp.kron(jnp.eye(4, dtype=dt), k2)            # (4*c4, 16*c8)
+    # ConvT2 on 2 of the 4 (dy, dx) blocks at once: block-diagonal GEMM
+    # applied to each 128-lane half of t1 inside the kernel
+    k2bd = jnp.kron(jnp.eye(2, dtype=dt), k2)            # (2*c4, 8*c8)
     b2_t = jnp.tile(b2[0], 4)[None].astype(f32)
     # per-prompt hypernetwork as a block-diagonal (16*c8, M*16) matrix:
     # Hbd[b, blk*c8 + ch, m*16 + blk'] = hyper[b, m, ch] * (blk == blk')
@@ -135,9 +142,7 @@ def upscale_hyper_masks(src, hyper_in, k1, b1, lnw, lnb, k2, b2,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b1.shape[1]), lambda i, r: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(pool_a.shape, lambda i, r: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(pool_s.shape, lambda i, r: (0, 0),
+            pl.BlockSpec(pool_m.shape, lambda i, r: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(lnw_t.shape, lambda i, r: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -153,7 +158,7 @@ def upscale_hyper_masks(src, hyper_in, k1, b1, lnw, lnb, k2, b2,
         out_specs=pl.BlockSpec((1, pix, m * 16), lambda i, r: (i, r, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(src_flat, k1, b1.astype(f32), pool_a, pool_s, lnw_t, lnb_t, k2bd,
+    )(src_flat, k1, b1.astype(f32), pool_m, lnw_t, lnb_t, k2bd,
       b2_t, hbd)
     # depth-to-space on the blocked masks: col = (m, dy, dx, gy, gx)
     masks = out.reshape(b, h, w, m, 2, 2, 2, 2)
