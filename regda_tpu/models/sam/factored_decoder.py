@@ -377,6 +377,121 @@ def two_way_transformer_dense(params, image_embedding, image_pe,
     return queries, keys
 
 
+def _heads(x, num_heads):
+    b, n, dim = x.shape
+    return x.reshape(b, n, num_heads, dim // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, n, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+
+
+def _attn_tok2img(qp, k_img, v_img, num_heads):
+    """Token-side queries against pre-projected image keys/values.
+
+    qp (B, N, D), k_img/v_img (B or 1, T, D) -> (B, N, D). Same op order
+    as _attention_dense after its projections."""
+    qh, kh, vh = (_heads(x, num_heads) for x in (qp, k_img, v_img))
+    d = qh.shape[-1]
+    attn = (qh @ kh.swapaxes(-1, -2)) / (d ** 0.5)
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+    return _merge_heads(attn.astype(vh.dtype) @ vh)
+
+
+def _attn_img2tok(q_img, k_tok, v_tok, num_heads):
+    """Image-side queries against token keys/values, WITHOUT the output
+    projection: q_img (B or 1, T, D), k_tok/v_tok (B, N, D) -> (B, T, D)
+    pre-out_proj (ln_project folds the out_proj in)."""
+    qh, kh, vh = (_heads(x, num_heads) for x in (q_img, k_tok, v_tok))
+    d = qh.shape[-1]
+    attn = (qh @ kh.swapaxes(-1, -2)) / (d ** 0.5)
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+    return _merge_heads(attn.astype(vh.dtype) @ vh)
+
+
+def two_way_transformer_dense_fused(params, image_embedding, image_pe,
+                                    point_embedding, num_heads=8,
+                                    dtype=jnp.float32):
+    """two_way_transformer_dense with the keys pipeline (residual + norm4 +
+    key-side projections) fused into the Pallas ln_project kernel
+    (pallas_keys.py) — one HBM pass per LN stage instead of one per
+    consumer. Identical math; requires a batch-1 (shared) image embedding,
+    which is exactly the everything-mode setting."""
+    from regda_tpu.models.sam.pallas_keys import ln_project
+    b1, h, w, c = image_embedding.shape
+    assert b1 == 1, 'fused dense decoder requires a shared image embedding'
+    t = h * w
+    keys0 = image_embedding.reshape(1, t, c).astype(dtype)
+    key_pe = image_pe.reshape(-1, t, c).astype(dtype)
+    qpe = point_embedding.astype(dtype)
+    queries = qpe
+    l0, l1 = params['layer0'], params['layer1']
+
+    # ---- layer 0: queries path on SHARED keys (batch-1 broadcasts) ----
+    queries = _attention_dense(l0['self_attn'], queries, queries, queries,
+                               num_heads, dtype)
+    queries = _layernorm(queries, l0['norm1']['scale'], l0['norm1']['bias'])
+    k = keys0 + key_pe
+    queries = queries + _attention_dense(
+        l0['cross_attn_token_to_image'], queries + qpe, k, keys0,
+        num_heads, dtype)
+    queries = _layernorm(queries, l0['norm2']['scale'], l0['norm2']['bias'])
+    mlp = _dense(l0['mlp_lin2'], jax.nn.relu(
+        _dense(l0['mlp_lin1'], queries, dtype)), dtype)
+    queries = _layernorm(queries + mlp, l0['norm3']['scale'],
+                         l0['norm3']['bias'])
+    i2t0 = l0['cross_attn_image_to_token']
+    q_img = _dense(i2t0['q_proj'], k, dtype)               # (1, T, D) shared
+    delta0 = _attn_img2tok(q_img,
+                           _dense(i2t0['k_proj'], queries + qpe, dtype),
+                           _dense(i2t0['v_proj'], queries, dtype),
+                           num_heads)                      # (B, T, D)
+
+    t2i1 = l1['cross_attn_token_to_image']
+    i2t1 = l1['cross_attn_image_to_token']
+    keys1, (k1, v1, q1_img) = ln_project(
+        delta0, i2t0['out_proj']['kernel'], i2t0['out_proj']['bias'],
+        l0['norm4']['scale'], l0['norm4']['bias'], key_pe[0],
+        projs=[(t2i1['k_proj']['kernel'], t2i1['k_proj']['bias']),
+               (t2i1['v_proj']['kernel'], t2i1['v_proj']['bias']),
+               (i2t1['q_proj']['kernel'], i2t1['q_proj']['bias'])],
+        shared=keys0[0], add_pe=(True, False, True))
+
+    # ---- layer 1: queries path against pre-projected keys ----
+    q = queries + qpe
+    queries = queries + _attention_dense(l1['self_attn'], q, q, queries,
+                                         num_heads, dtype)
+    queries = _layernorm(queries, l1['norm1']['scale'], l1['norm1']['bias'])
+    out = _attn_tok2img(_dense(t2i1['q_proj'], queries + qpe, dtype),
+                        k1, v1, num_heads)
+    queries = queries + _dense(t2i1['out_proj'], out, dtype)
+    queries = _layernorm(queries, l1['norm2']['scale'], l1['norm2']['bias'])
+    mlp = _dense(l1['mlp_lin2'], jax.nn.relu(
+        _dense(l1['mlp_lin1'], queries, dtype)), dtype)
+    queries = _layernorm(queries + mlp, l1['norm3']['scale'],
+                         l1['norm3']['bias'])
+    delta1 = _attn_img2tok(q1_img,
+                           _dense(i2t1['k_proj'], queries + qpe, dtype),
+                           _dense(i2t1['v_proj'], queries, dtype),
+                           num_heads)
+
+    fat = params['final_attn_token_to_image']
+    keys2, (kf, vf) = ln_project(
+        delta1, i2t1['out_proj']['kernel'], i2t1['out_proj']['bias'],
+        l1['norm4']['scale'], l1['norm4']['bias'], key_pe[0],
+        projs=[(fat['k_proj']['kernel'], fat['k_proj']['bias']),
+               (fat['v_proj']['kernel'], fat['v_proj']['bias'])],
+        prev=keys1, add_pe=(True, False))
+
+    out = _attn_tok2img(_dense(fat['q_proj'], queries + qpe, dtype),
+                        kf, vf, num_heads)
+    queries = queries + _dense(fat['out_proj'], out, dtype)
+    queries = _layernorm(queries, params['norm_final_attn']['scale'],
+                         params['norm_final_attn']['bias'])
+    return queries, keys2
+
+
 def two_way_transformer_factored(params, image_embedding, image_pe,
                                  point_embedding, num_heads=8,
                                  dtype=jnp.float32):
@@ -471,8 +586,17 @@ def mask_decoder_fast(params, image_embeddings, image_pe, sparse_prompt,
                           (b, *output_tokens.shape)), sparse_prompt], axis=1)
 
     src_shared = image_embeddings + dense_prompt[:1]
-    transformer = (two_way_transformer_factored if factored
-                   else two_way_transformer_dense)
+    import os as _os
+    if factored:
+        transformer = two_way_transformer_factored
+    elif fused_upscale and _os.environ.get('REGDA_FUSED_KEYS'):
+        # opt-in: the ln_project kernel measured SLOWER end-to-end (3.70 vs
+        # 5.00 tiles/s) than XLA's own LN+projection fusions, which already
+        # fuse the moment reductions into each consumer — kept for further
+        # kernel work, not as the default
+        transformer = two_way_transformer_dense_fused
+    else:
+        transformer = two_way_transformer_dense
     hs, src = transformer(
         params['transformer'], src_shared,
         image_pe[None] if image_pe.ndim == 3 else image_pe, tokens,
