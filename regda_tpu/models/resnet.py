@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -114,6 +115,45 @@ def _stage_plan(output_stride: int) -> Sequence[tuple[int, int]]:
     raise ValueError('output_stride must be 8, 16 or 32.')
 
 
+class StemConv(nn.Module):
+    """The 7x7/stride-2 stem conv, computed as a 4x4/stride-1 conv on
+    2x2 space-to-depth input when the spatial dims are even.
+
+    With C_in=3 the direct lowering fills 3/128 of the MXU's contraction
+    dim (profiled 14 TF/s and 1.4 ms of a 22 ms ResNet-101 eval forward on
+    v5e); packing each 2x2 pixel block into channels (C_in 3 -> 12) and
+    regrouping the zero-padded 8x8 kernel by output-pixel parity computes
+    the IDENTICAL convolution at 4x the contraction width. Same parameter
+    ('conv1/kernel', (7, 7, C, 64)) so checkpoint conversion is unchanged;
+    equality asserted in tests/test_model.py. Reference stem:
+    regda/_resnets.py:121 (conv1 7x7/2, pad 3, no bias).
+    """
+    features: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, c = x.shape
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (7, 7, c, self.features))
+        if h % 2 or w % 2:
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype), (2, 2),
+                [(3, 3)] * 2, dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        # K8[2a+dy, 2b+dx] = K[2a+dy-1, 2b+dx-1] (zero row/col 0):
+        # out[oh,ow] = sum_{a,b,dy,dx} x[2(oh+a-2)+dy, ...] K8[2a+dy, 2b+dx]
+        k8 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        ksd = (k8.reshape(4, 2, 4, 2, c, self.features)
+               .transpose(0, 2, 1, 3, 4, 5)
+               .reshape(4, 4, 4 * c, self.features))
+        xsd = (x.reshape(n, h // 2, 2, w // 2, 2, c)
+               .transpose(0, 1, 3, 2, 4, 5)
+               .reshape(n, h // 2, w // 2, 4 * c))
+        return jax.lax.conv_general_dilated(
+            xsd.astype(self.dtype), ksd.astype(self.dtype), (1, 1),
+            ((2, 1), (2, 1)), dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+
 class ResNetEncoder(nn.Module):
     """Returns [c2, c3, c4, c5] feature maps, channel-last."""
     resnet_type: str = 'resnet101'
@@ -126,8 +166,7 @@ class ResNetEncoder(nn.Module):
         block_cls = BasicBlock if self.resnet_type in BASIC_BLOCK_TYPES else Bottleneck
         expansion = 1 if self.resnet_type in BASIC_BLOCK_TYPES else 4
 
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2,
-                    use_bias=False, dtype=self.dtype, name='conv1')(x)
+        x = StemConv(64, dtype=self.dtype, name='conv1')(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name='bn1')(x)
         x = nn.relu(x)

@@ -63,3 +63,20 @@ def test_converted_torch_checkpoint_matches_oracle():
     got = np.asarray(model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
                                  train=False)).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_stem_conv_space_to_depth_equals_direct():
+    """StemConv's space-to-depth path == the direct 7x7/s2 conv on the
+    same (7, 7, C, 64) parameter (even and odd spatial sizes)."""
+    import flax.linen as nn
+    from regda_tpu.models.resnet import StemConv
+    rng = np.random.RandomState(0)
+    for h, w in [(32, 48), (30, 34)]:
+        x = jnp.asarray(rng.randn(2, h, w, 3).astype(np.float32))
+        ref_mod = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2,
+                          use_bias=False)
+        new_mod = StemConv(64)
+        v = ref_mod.init(jax.random.PRNGKey(0), x)
+        np.testing.assert_allclose(
+            np.asarray(new_mod.apply(v, x)),
+            np.asarray(ref_mod.apply(v, x)), rtol=1e-4, atol=1e-4)
