@@ -179,8 +179,20 @@ class SamAutomaticMaskGenerator:
                  crop_n_points_downscale_factor: int = 1,
                  mask_budget: int = 256,
                  compute_dtype=jnp.bfloat16,
-                 factored_decoder: Optional[bool] = None):
+                 factored_decoder: Optional[bool] = None,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'data' axis. When given,
+        SamRegionGenerator.generate_regions_batch shards the tile batch
+        over it (one 1024-resized encode per chip — a single chip can't
+        batch ViT-B encodes at 1024^2 in 16G HBM, a mesh CAN scale them
+        out); variables are replicated. New first-class capability vs the
+        single-GPU reference (SURVEY.md section 2.7)."""
         import os as _os
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            variables = jax.device_put(variables,
+                                       NamedSharding(mesh, P()))
         if factored_decoder is None:
             # the factored decoder (factored_decoder.py) cuts decode HBM
             # traffic ~3x but its thin-rank matmuls tile worse on the MXU;
@@ -192,7 +204,8 @@ class SamAutomaticMaskGenerator:
         # same escape hatch as the LRH kernel
         self.fused_upscale = not _os.environ.get('REGDA_NO_PALLAS')
         self.model = model
-        self.variables = jax.device_put(variables)
+        self.variables = (variables if mesh is not None
+                          else jax.device_put(variables))
         self.points_per_side = points_per_side
         self.points_per_batch = points_per_batch
         self.pred_iou_thresh = pred_iou_thresh
@@ -684,6 +697,63 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
             self._jits[key] = jax.jit(jax.vmap(paint_one))
         return self._jits[key]
 
+    # ------------------------------------------------- mesh-sharded phase 1
+    def _preprocess_batch_fn(self, crop_hw):
+        key = ('preprocess_batch', crop_hw)
+        if key not in self._jits:
+            pre, sizes = self._preprocess_device_fn(crop_hw)
+            self._jits[key] = (jax.jit(jax.vmap(pre)), sizes)
+        return self._jits[key]
+
+    def _encode_batch_fn(self):
+        if 'encode_batch' not in self._jits:
+            enc = self._encode_fn()
+            self._jits['encode_batch'] = jax.jit(
+                jax.vmap(enc, in_axes=(None, 0)))
+        return self._jits['encode_batch']
+
+    def _phase1_sharded(self, tiles, crop_boxes, layer_idxs):
+        """Per-crop-position stats with the TILE axis sharded over
+        self.mesh: every device encodes/decodes its own tiles (a single
+        chip cannot batch 1024-res ViT-B encodes in HBM; a mesh scales
+        them out with no change in results)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        mesh = self.mesh
+        axis = mesh.axis_names[0]
+        n_dev = mesh.shape[axis]
+        sh = NamedSharding(mesh, P(axis))
+        n_tiles = len(tiles)
+        pad = (-n_tiles) % n_dev
+        tiles_p = list(tiles) + [tiles[-1]] * pad
+        per_pos = []
+        for box, layer in zip(crop_boxes, layer_idxs):
+            x0, y0, x1, y1 = box
+            ch, cw = y1 - y0, x1 - x0
+            pre_b, (nh, nw) = self._preprocess_batch_fn((ch, cw))
+            n_side = self.points_per_side // (
+                self.crop_n_points_downscale_factor ** layer)
+            grid = build_point_grid(n_side)
+            pts = grid * np.array([nw, nh], np.float32)
+            pb = self.points_per_batch
+            padp = (-len(pts)) % pb
+            pts_padded = jnp.asarray(np.concatenate(
+                [pts, np.zeros((padp, 2), np.float32)]))
+            valid = jnp.asarray(np.arange(pts_padded.shape[0]) < len(pts))
+            crops = np.stack([np.ascontiguousarray(t[y0:y1, x0:x1])
+                              for t in tiles_p])
+            xs = pre_b(jax.device_put(crops, sh))
+            embs = self._encode_batch_fn()(self.variables, xs)
+            logits, iou, ok = self._decode_all_batch_fn(
+                int(pts_padded.shape[0]))(self.variables, embs, pts_padded,
+                                          valid)
+            packed, boxes, areas = self._mask_stats_packed_fn(
+                (nh, nw, ch, cw))(logits)
+            sl = slice(0, n_tiles)
+            per_pos.append(dict(packed=packed[sl], boxes=boxes[sl],
+                                areas=areas[sl], iou=iou[sl], ok=ok[sl],
+                                nh=nh, nw=nw, ch=ch, cw=cw))
+        return per_pos
+
     def generate_regions_batch(self, tiles: "list[np.ndarray]",
                                area_threshold: int = 1024
                                ) -> "list[np.ndarray]":
@@ -693,7 +763,8 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
         device work for every tile is enqueued before the first (tiny)
         stats download, so the accelerator pipeline never stalls on the
         host between tiles; then NMS runs per tile on scalars and the
-        paints are enqueued back-to-back.
+        paints are enqueued back-to-back. With a mesh, phase 1 runs with
+        the tile axis sharded over the devices instead (_phase1_sharded).
         """
         h, w = tiles[0].shape[:2]
         assert all(t.shape[:2] == (h, w) for t in tiles)
@@ -706,6 +777,10 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
         # the 16G HBM) but they pipeline back-to-back with no host reads;
         # packed stats are stacked on device so phase 2 downloads each
         # scalar field ONCE per position instead of once per tile
+        if self.mesh is not None:
+            per_pos = self._phase1_sharded(tiles, crop_boxes, layer_idxs)
+            return self._phases23(tiles, per_pos, crop_boxes, layer_idxs,
+                                  h, w, area_threshold)
         per_pos = []
         for box, layer in zip(crop_boxes, layer_idxs):
             x0, y0, x1, y1 = box
@@ -742,6 +817,12 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
                                 iou=jnp.stack(iou_l), ok=jnp.stack(ok_l),
                                 nh=nh, nw=nw, ch=ch, cw=cw))
 
+        return self._phases23(tiles, per_pos, crop_boxes, layer_idxs,
+                              h, w, area_threshold)
+
+    def _phases23(self, tiles, per_pos, crop_boxes, layer_idxs, h, w,
+                  area_threshold):
+        n_tiles = len(tiles)
         # phase 2: per-tile NMS on the (batched) scalars
         pos_np = [dict(boxes=np.asarray(p['boxes']),
                        areas=np.asarray(p['areas']),

@@ -450,3 +450,30 @@ def test_attention_pallas_fused_equals_stock():
     got = fused.apply(v, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_region_generator_mesh_sharded_matches_single(tiny_sam):
+    """generate_regions_batch over a 2-device data mesh == a 1-device mesh
+    (sharding the tile axis must not change any tile's result; the
+    unsharded path differs only by vmap-vs-single float association, which
+    can permute score-ordered region ids)."""
+    from jax.sharding import Mesh
+    from regda_tpu.models.sam.auto import SamRegionGenerator
+    model, variables = tiny_sam
+    kwargs = dict(points_per_side=4, points_per_batch=8,
+                  pred_iou_thresh=-1e9, stability_score_thresh=0.0,
+                  crop_n_layers=0, compute_dtype=jnp.float32)
+    rng = np.random.RandomState(7)
+    tiles = [rng.randint(0, 255, (64, 64, 3), np.uint8).astype(np.uint8)
+             for _ in range(4)]
+    mesh1 = Mesh(np.array(jax.devices()[:1]), ('data',))
+    ref = SamRegionGenerator(model, variables, mesh=mesh1,
+                             **kwargs).generate_regions_batch(
+                                 tiles, area_threshold=4)
+    mesh2 = Mesh(np.array(jax.devices()[:2]), ('data',))
+    got = SamRegionGenerator(model, variables, mesh=mesh2,
+                             **kwargs).generate_regions_batch(
+                                 tiles, area_threshold=4)
+    for i, (g, r) in enumerate(zip(got, ref)):
+        assert g.shape == r.shape and g.max() > 0
+        np.testing.assert_array_equal(g, r, err_msg=f'tile {i}')

@@ -34,7 +34,11 @@ if __name__ == '__main__':
                                  'data/IsprsDA/Potsdam/img_dir/train'])
     parser.add_argument('--checkpoint', type=str, default=None)
     parser.add_argument('--model-type', type=str, default='vit_b',
-                        choices=['vit_b', 'vit_l', 'vit_h'])
+                        choices=['vit_b', 'vit_l', 'vit_h', 'vit_t'],
+                        help='vit_t is a tiny random-weight config for '
+                             'smoke runs')
+    parser.add_argument('--img-size', type=int, default=1024,
+                        help='SAM input resolution (lower for smoke runs)')
     parser.add_argument('--area-threshold', type=int, default=1024)
     parser.add_argument('--points-per-side', type=int, default=32)
     parser.add_argument('--pred-iou-thresh', type=float, default=0.90)
@@ -45,9 +49,12 @@ if __name__ == '__main__':
     parser.add_argument('--fast', type=int, default=1,
                         help='device-painted region maps (1, default) or the\n'
                              'mask-downloading parity path (0)')
+    parser.add_argument('--data-mesh', type=int, default=0,
+                        help='shard each tile batch over this many devices\n'
+                             '(0 = single device; requires --fast)')
     args = parser.parse_args()
 
-    model = Sam(vit_config=args.model_type)
+    model = Sam(vit_config=args.model_type, img_size=args.img_size)
     if args.checkpoint:
         from regda_tpu.models.sam.convert import load_sam_checkpoint
         variables = load_sam_checkpoint(args.checkpoint)
@@ -58,8 +65,17 @@ if __name__ == '__main__':
               '(region maps will not match reference SAM regions)')
         variables = model.init(
             {'params': jax.random.PRNGKey(0)},
-            jnp.zeros((1, 1024, 1024, 3)),
+            jnp.zeros((1, args.img_size, args.img_size, 3)),
             jnp.zeros((1, 1, 2)), jnp.ones((1, 1), jnp.int32))
+
+    mesh = None
+    if args.data_mesh:
+        import jax
+        from jax.sharding import Mesh
+        assert args.fast, '--data-mesh requires --fast 1'
+        devs = np.array(jax.devices()[:args.data_mesh])
+        mesh = Mesh(devs, ('data',))
+        print(f'sharding tile batches over {len(devs)} devices')
 
     gen_cls = SamRegionGenerator if args.fast else SamAutomaticMaskGenerator
     gen = gen_cls(
@@ -69,6 +85,7 @@ if __name__ == '__main__':
         stability_score_thresh=args.stability_thresh,
         crop_n_layers=args.crop_n_layers,
         crop_n_points_downscale_factor=2,
+        mesh=mesh,
     )
 
     for img_dir in args.img_dirs:
