@@ -19,7 +19,7 @@ import numpy as np
 from regda_tpu.datasets import get_meta
 from regda_tpu.infer import SegInferencer
 from regda_tpu.parallel import make_mesh, replicated_sharding, shard_batch
-from regda_tpu.utils.checkpoint import save_pytree
+from regda_tpu.utils.checkpoint import load_pytree_as, save_pytree
 from regda_tpu.utils.eval import evaluate
 from regda_tpu.utils.profiling import StepTimer, trace_window
 
@@ -92,6 +92,46 @@ class Trainer:
             lr_line = ', '.join(parts)
             self.logger.info(lr_line + (f', {extra}' if extra else ''))
 
+    # ------------------------------------------------------ elastic resume
+    @property
+    def _state_path(self):
+        return os.path.join(self.cfg.SNAPSHOT_DIR,
+                            self.cfg.TARGET_SET + '_state.ckpt')
+
+    def save_state(self):
+        """Persist the FULL TrainState (params, opt state, prototypes,
+        class-freq EMAs, GHM histograms, RNG) so a crashed run resumes
+        exactly — the reference can only restart from manually passed
+        weight files (SURVEY.md section 5: no failure recovery)."""
+        import json
+        save_pytree(self._state_path, jax.device_get(self.state))
+        with open(self._state_path + '.json', 'w') as f:
+            json.dump({'mIoU_max': self.mIoU_max,
+                       'iter_max': self.iter_max}, f)
+
+    def try_resume(self) -> int:
+        """Restore the full train state if one exists in SNAPSHOT_DIR.
+        Returns the iteration to resume from (0 = fresh run)."""
+        import json
+        if not os.path.isdir(self._state_path):
+            return 0
+        restored = load_pytree_as(self._state_path,
+                                  jax.device_get(self.state))
+        self.state = (jax.device_put(restored,
+                                     replicated_sharding(self.mesh))
+                      if self.mesh is not None else jax.device_put(restored))
+        meta_path = self._state_path + '.json'
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            self.mIoU_max = float(meta.get('mIoU_max', 0.0))
+            self.iter_max = int(meta.get('iter_max', 0))
+        start = int(np.asarray(jax.device_get(self.state.step)))
+        self.logger.info(f'auto-resume: restored {self._state_path} at '
+                         f'step {start} (best mIoU {self.mIoU_max:.4f} '
+                         f'@ iter {self.iter_max})')
+        return start
+
     def maybe_eval(self, i_iter: int, stop_steps: int,
                    eval_at_zero: bool = False) -> Optional[float]:
         due = ((i_iter + 1) % self.cfg.EVAL_EVERY == 0
@@ -125,6 +165,7 @@ class Trainer:
                 shutil.copytree(curr_vis, best_vis)
         self.logger.info(
             f'Best model in iter={self.iter_max}, best_mIoU={self.mIoU_max}.')
+        self.save_state()
         return mIoU_curr
 
     @property

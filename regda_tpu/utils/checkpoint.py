@@ -39,6 +39,22 @@ def load_pytree(path: str) -> Any:
     return ckptr.restore(path)
 
 
+def load_pytree_as(path: str, target: Any) -> Any:
+    """Restore a checkpoint INTO the structure of `target` (custom pytree
+    nodes like TrainState / optax named tuples come back as themselves,
+    not as plain dicts). Used for elastic resume of full train states —
+    the reference has no such recovery (SURVEY.md section 5); a crash
+    there loses everything since the last manual checkpoint flag."""
+    path = _abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    template = jax.tree.map(np.asarray, target)
+    try:
+        return ckptr.restore(path, template)
+    except TypeError:
+        return ckptr.restore(
+            path, args=ocp.args.StandardRestore(template))
+
+
 def save_prototypes(path: str, prototypes) -> None:
     """Prototype matrices are small; store as .npy (reference stores a bare
     tensor .pth — tools/init_prototypes.py:112)."""

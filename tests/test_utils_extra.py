@@ -143,3 +143,31 @@ def test_trace_window_writes_trace(tmp_path):
     for root, _, files in os.walk(d):
         found += files
     assert found, 'no profiler artifacts written'
+
+
+def test_train_state_checkpoint_roundtrip(tmp_path):
+    """Full-TrainState save -> load_pytree_as restores custom pytree nodes
+    (TrainState, optax tuples, ClassBalance/GHM states) exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from regda_tpu.models import build_deeplabv2
+    from regda_tpu.train.state import make_optimizer, create_train_state
+    from regda_tpu.utils.checkpoint import load_pytree_as, save_pytree
+
+    model = build_deeplabv2('ResNet18', num_classes=3)
+    tx = make_optimizer(1e-2, 10)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               input_shape=(1, 32, 32, 3), num_classes=3,
+                               feat_dim=512)
+    state = state.replace(step=jnp.asarray(7, jnp.int32),
+                          prototypes=state.prototypes + 1.5)
+    path = str(tmp_path / 'state.ckpt')
+    save_pytree(path, jax.device_get(state))
+    restored = load_pytree_as(path, jax.device_get(state))
+    assert type(restored) is type(state)
+    assert int(restored.step) == 7
+    np.testing.assert_allclose(np.asarray(restored.prototypes),
+                               np.asarray(state.prototypes))
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b)), jax.device_get(state), restored)

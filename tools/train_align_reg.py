@@ -30,6 +30,9 @@ from regda_tpu.utils.tools import (get_console_file_logger, import_config,
 
 parser = argparse.ArgumentParser(description='Train align by pcl with uem.')
 parser.add_argument('--config-path', type=str, default='st.regda.2vaihingen')
+parser.add_argument('--auto-resume', type=str2bool, default=0,
+                    help='restore the full train state from SNAPSHOT_DIR'
+                         ' and continue (elastic recovery)')
 parser.add_argument('--ckpt-model', type=str, required=True)
 parser.add_argument('--ckpt-proto', type=str, required=True)
 parser.add_argument('--gen', type=str2bool, default=1)
@@ -80,6 +83,7 @@ def main():
         num_classes=meta.num_classes, ignore_label=meta.ignore_label,
         cutoff_top=cfg.CUTOFF_TOP, cutoff_low=cfg.CUTOFF_LOW)
     trainer = Trainer(model, cfg, logger, state, step_fn)
+    start_iter = trainer.try_resume() if args.auto_resume else 0
 
     sourceloader = DALoader(cfg.SOURCE_DATA_CONFIG, cfg.DATASETS)
     # stage 2 target loader: same id-label target dirs as stage 1 but with
@@ -95,7 +99,7 @@ def main():
                 f'target={len(targetloader)}')
     logger.info('epochs ~= %.3f' % (stop_steps / len(sourceloader)))
 
-    for i_iter in range(stop_steps):
+    for i_iter in range(start_iter, stop_steps):
         bs = source_iter.next()
         bt = target_iter.next()
         metrics = trainer.run_step(

@@ -24,6 +24,9 @@ from regda_tpu.utils.tools import (get_console_file_logger, import_config,
 
 parser = argparse.ArgumentParser(description='Train in src.')
 parser.add_argument('--config-path', type=str, default='st.regda.2vaihingen')
+parser.add_argument('--auto-resume', type=str2bool, default=0,
+                    help='restore the full train state from SNAPSHOT_DIR'
+                         ' and continue (elastic recovery)')
 parser.add_argument('--align-domain', type=str2bool, default=0)
 parser.add_argument('--ls', type=str, default='CrossEntropy',
                     choices=['CrossEntropy', 'OhemCrossEntropy'])
@@ -71,6 +74,7 @@ def main():
                                num_classes=meta.num_classes,
                                ignore_label=meta.ignore_label)
     trainer = Trainer(model, cfg, logger, state, step_fn)
+    start_iter = trainer.try_resume() if args.auto_resume else 0
 
     sourceloader = DALoader(cfg.SOURCE_DATA_CONFIG, cfg.DATASETS)
     targetloader = DALoader(cfg.TARGET_DATA_CONFIG, cfg.DATASETS)
@@ -80,7 +84,7 @@ def main():
                 f'target={len(targetloader)}')
     logger.info('epochs ~= %.3f' % (stop_steps / len(sourceloader)))
 
-    for i_iter in range(stop_steps):
+    for i_iter in range(start_iter, stop_steps):
         bs = source_iter.next()
         bt = target_iter.next()
         metrics = trainer.run_step(
