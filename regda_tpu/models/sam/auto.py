@@ -489,13 +489,18 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
             mean = jnp.asarray(SAM_PIXEL_MEAN)
             std = jnp.asarray(SAM_PIXEL_STD)
 
+            dt = self.compute_dtype
+
             def pre(crop_u8):
                 x = crop_u8.astype(jnp.float32)
                 x = x[None] if x.ndim == 3 else x     # (B, ch, cw, 3)
                 x = resize_bilinear_half_pixel(x, (nh, nw))
                 x = (x - mean) / std
+                # emit the encoder's compute dtype: the patch embed casts
+                # anyway, and a separate 12 MB f32->bf16 convert measured
+                # 0.78 ms through XLA's layout assignment
                 return jnp.pad(x, ((0, 0), (0, size - nh),
-                                   (0, size - nw), (0, 0)))
+                                   (0, size - nw), (0, 0))).astype(dt)
 
             self._jits[key] = (jax.jit(pre), (nh, nw))
         return self._jits[key]

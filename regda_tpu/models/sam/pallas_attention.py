@@ -72,10 +72,16 @@ def attention_with_rel_bias(q, k, v, rh, rw, *, scale: float, kh: int,
         interpret = jax.default_backend() != 'tpu'
     bh, n, d = q.shape
     assert n == kh * kw, (n, kh, kw)
-    f32 = jnp.float32
+    # bias expansion dots run in the compute dtype: in f32 they cost as
+    # much as the attention matmuls themselves (half-rate MXU); in bf16
+    # the bias carries the same precision as the bf16 q/k products it
+    # joins (f32 accumulation either way)
+    dt = q.dtype
     cols = jnp.arange(n)
-    eh = (cols[None, :] // kw == jnp.arange(kh)[:, None]).astype(f32)
-    ew = (cols[None, :] % kw == jnp.arange(kw)[:, None]).astype(f32)
+    eh = (cols[None, :] // kw == jnp.arange(kh)[:, None]).astype(dt)
+    ew = (cols[None, :] % kw == jnp.arange(kw)[:, None]).astype(dt)
+    rh = rh.astype(dt)
+    rw = rw.astype(dt)
     # qb=256 keeps the f32 logits block + its exp at 4 MB each — inside the
     # 16 MB scoped-VMEM budget with K/V and the expansion matrices (qb=512
     # OOMs the scoped allocator at N=4096)
