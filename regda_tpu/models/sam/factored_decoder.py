@@ -234,6 +234,12 @@ def fk_materialize(fk: FactoredKeys, dtype):
 
 
 def _layernorm(x, scale, bias, eps=1e-5):
+    # NOTE: routing the big key-state LNs through the Pallas one-pass
+    # kernel (pallas_ln.py) measured SLOWER end-to-end (5.26 vs 5.57
+    # tiles/s): XLA already folds these LNs into each consuming projection
+    # fusion, so a materialized LN output costs an extra full pass. The
+    # kernel only wins where the LN output has a single consumer (the
+    # encoder blocks).
     xf = x.astype(jnp.float32)
     mu = xf.mean(-1, keepdims=True)
     var = ((xf - mu) ** 2).mean(-1, keepdims=True)

@@ -477,3 +477,21 @@ def test_region_generator_mesh_sharded_matches_single(tiny_sam):
     for i, (g, r) in enumerate(zip(got, ref)):
         assert g.shape == r.shape and g.max() > 0
         np.testing.assert_array_equal(g, r, err_msg=f'tile {i}')
+
+
+def test_pallas_layernorm_matches_stock():
+    """pallas_ln.layernorm (interpret off-TPU) == the two-pass f32 LN on
+    3-D inputs at both encoder and decoder shapes/eps."""
+    from regda_tpu.models.sam.pallas_ln import layernorm
+    rng = np.random.RandomState(0)
+    for shape, eps in [((2, 4096, 256), 1e-5), ((1, 64, 64, 96), 1e-6)]:
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+        w = jnp.asarray(rng.randn(shape[-1]).astype(np.float32))
+        b = jnp.asarray(rng.randn(shape[-1]).astype(np.float32))
+        got = layernorm(x, w, b, eps=eps)
+        xf = np.asarray(x, np.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+        ref = (xf - mu) / np.sqrt(var + eps) * np.asarray(w) + np.asarray(b)
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-5,
+                                   atol=2e-5)
