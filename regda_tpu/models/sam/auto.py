@@ -744,18 +744,27 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
             pts_padded = jnp.asarray(np.concatenate(
                 [pts, np.zeros((padp, 2), np.float32)]))
             valid = jnp.asarray(np.arange(pts_padded.shape[0]) < len(pts))
-            crops = np.stack([np.ascontiguousarray(t[y0:y1, x0:x1])
-                              for t in tiles_p])
-            xs = pre_b(jax.device_put(crops, sh))
-            embs = self._encode_batch_fn()(self.variables, xs)
-            logits, iou, ok = self._decode_all_batch_fn(
-                int(pts_padded.shape[0]))(self.variables, embs, pts_padded,
-                                          valid)
-            packed, boxes, areas = self._mask_stats_packed_fn(
-                (nh, nw, ch, cw))(logits)
-            sl = slice(0, n_tiles)
-            per_pos.append(dict(packed=packed[sl], boxes=boxes[sl],
-                                areas=areas[sl], iou=iou[sl], ok=ok[sl],
+            # one tile per DEVICE per dispatch: a single chip cannot hold
+            # even two concurrent 1024-res ViT-B encodes (plus the decode's
+            # candidate tensors) in 16G HBM, so larger tile batches go
+            # through as consecutive n_dev-wide sharded dispatches
+            decode_b = self._decode_all_batch_fn(int(pts_padded.shape[0]))
+            stats_b = self._mask_stats_packed_fn((nh, nw, ch, cw))
+            enc_b = self._encode_batch_fn()
+            parts = []
+            for lo in range(0, len(tiles_p), n_dev):
+                crops = np.stack([np.ascontiguousarray(t[y0:y1, x0:x1])
+                                  for t in tiles_p[lo:lo + n_dev]])
+                xs = pre_b(jax.device_put(crops, sh))
+                embs = enc_b(self.variables, xs)
+                logits, iou, ok = decode_b(self.variables, embs,
+                                           pts_padded, valid)
+                packed, boxes, areas = stats_b(logits)
+                parts.append((packed, boxes, areas, iou, ok))
+            cat = [jnp.concatenate(field)[:n_tiles]
+                   for field in zip(*parts)]
+            per_pos.append(dict(packed=cat[0], boxes=cat[1], areas=cat[2],
+                                iou=cat[3], ok=cat[4],
                                 nh=nh, nw=nw, ch=ch, cw=cw))
         return per_pos
 

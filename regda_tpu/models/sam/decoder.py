@@ -138,6 +138,17 @@ class MLP(nn.Module):
         return x
 
 
+def flatten_convt_kernel(kernel, dtype):
+    """(2, 2, Cin, Cout) ConvTranspose kernel -> (Cin, 4*Cout) GEMM matrix
+    with block order (dy, dx, f). lax.conv_transpose applies the kernel
+    spatially FLIPPED, hence the [::-1, ::-1]. Single home for the
+    convention shared by SubpixelConvT / UpscaleLinear /
+    factored_decoder._upscale_linear_flat / pallas_upscale."""
+    c_in = kernel.shape[2]
+    return (kernel[::-1, ::-1].astype(dtype).transpose(2, 0, 1, 3)
+            .reshape(c_in, -1))
+
+
 class SubpixelConvT(nn.Module):
     """2x2-stride-2 transposed conv expressed as one matmul + depth-to-space.
 
@@ -145,10 +156,10 @@ class SubpixelConvT(nn.Module):
     linear map to 4 sub-pixels: out[2h+dy, 2w+dx, o] = x[h, w, :] @
     kernel[dy, dx, :, o] + bias (lax applies the kernel spatially flipped).
     Parameter names/shapes match nn.ConvTranspose, so the two are drop-in
-    interchangeable per checkpoint. Measured on v5e the XLA ConvTranspose
-    lowering was FASTER in the decoder (the depth-to-space transpose costs
-    more than the conv), so MaskDecoder uses nn.ConvTranspose; this module
-    is kept as the tested matmul-form alternative.
+    interchangeable per checkpoint. MaskDecoder now uses UpscaleLinear
+    (below), which defers the depth-to-space interleave past the
+    hypernetwork contraction; this module is the equality-tested
+    IMMEDIATE-interleave form the deferred variants are derived from.
     """
     features: int
     dtype: jnp.dtype = jnp.float32
@@ -159,9 +170,7 @@ class SubpixelConvT(nn.Module):
         kernel = self.param('kernel', nn.initializers.lecun_normal(),
                             (2, 2, c_in, self.features))
         bias = self.param('bias', nn.initializers.zeros, (self.features,))
-        # lax.conv_transpose applies the kernel spatially FLIPPED
-        k = kernel[::-1, ::-1].astype(self.dtype).transpose(2, 0, 1, 3)
-        k = k.reshape(c_in, 4 * self.features)         # (Cin, dy*dx*Cout)
+        k = flatten_convt_kernel(kernel, self.dtype)   # (Cin, dy*dx*Cout)
         y = x.astype(self.dtype).reshape(b, h * w, c_in) @ k
         y = y.reshape(b, h, w, 2, 2, self.features)
         y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w,
@@ -196,10 +205,7 @@ class UpscaleLinear(nn.Module):
         kernel = self.param('kernel', nn.initializers.lecun_normal(),
                             (2, 2, c_in, self.features))
         bias = self.param('bias', nn.initializers.zeros, (self.features,))
-        # lax.conv_transpose applies the kernel spatially FLIPPED
-        k = kernel[::-1, ::-1].astype(self.dtype).transpose(2, 0, 1, 3)
-        k = k.reshape(c_in, 4 * self.features)
-        y = x.astype(self.dtype) @ k
+        y = x.astype(self.dtype) @ flatten_convt_kernel(kernel, self.dtype)
         if self.flatten:
             return y + jnp.tile(bias, 4).astype(self.dtype)
         y = y.reshape(*x.shape[:-1], 2, 2, self.features)

@@ -541,11 +541,8 @@ def _upscale_linear_flat(params, x, dtype):
     """2x2/s2 ConvTranspose as a flat per-pixel GEMM, depth-to-space
     deferred: (..., C_in) -> (..., 4*features), channel blocks (dy, dx, f).
     Mirrors decoder.UpscaleLinear(flatten=True)."""
-    kernel = params['kernel']
-    c_in = kernel.shape[2]
-    k = kernel[::-1, ::-1].astype(dtype).transpose(2, 0, 1, 3)
-    k = k.reshape(c_in, -1)
-    y = x.astype(dtype) @ k
+    from regda_tpu.models.sam.decoder import flatten_convt_kernel
+    y = x.astype(dtype) @ flatten_convt_kernel(params['kernel'], dtype)
     return y + jnp.tile(params['bias'], 4).astype(dtype)
 
 

@@ -57,17 +57,69 @@ def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, eh_ref, ew_ref, o_ref,
     o_ref[0] = (out / s).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=('scale', 'kh', 'kw', 'interpret'))
+def _expanders(n, kh, kw, dt):
+    cols = jnp.arange(n)
+    eh = (cols[None, :] // kw == jnp.arange(kh)[:, None]).astype(dt)
+    ew = (cols[None, :] % kw == jnp.arange(kw)[:, None]).astype(dt)
+    return eh, ew
+
+
+def _attn_stock(q, k, v, rh, rw, scale, kh, kw):
+    """Pure-XLA twin of the kernel (same op order); used as the VJP
+    rule so the fused forward stays differentiable."""
+    f32 = jnp.float32
+    dt = q.dtype
+    n = kh * kw
+    eh, ew = _expanders(n, kh, kw, dt)
+    logits = jnp.einsum('bnd,bmd->bnm', (q.astype(f32) * scale).astype(dt),
+                        k, preferred_element_type=f32)
+    logits += jnp.einsum('bnk,km->bnm', rh.astype(dt), eh,
+                         preferred_element_type=f32)
+    logits += jnp.einsum('bnk,km->bnm', rw.astype(dt), ew,
+                         preferred_element_type=f32)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    s = jnp.sum(p, axis=-1, keepdims=True)
+    out = jnp.einsum('bnm,bmd->bnd', p.astype(v.dtype), v,
+                     preferred_element_type=f32)
+    return (out / s).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _attn_cvjp(q, k, v, rh, rw, scale, kh, kw, interpret):
+    return _attn_fwd_impl(q, k, v, rh, rw, scale, kh, kw, interpret)
+
+
+def _attn_fwd(q, k, v, rh, rw, scale, kh, kw, interpret):
+    return (_attn_fwd_impl(q, k, v, rh, rw, scale, kh, kw, interpret),
+            (q, k, v, rh, rw))
+
+
+def _attn_bwd(scale, kh, kw, interpret, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: _attn_stock(*a, scale, kh, kw), *res)
+    return vjp(g)
+
+
+_attn_cvjp.defvjp(_attn_fwd, _attn_bwd)
+
+
 def attention_with_rel_bias(q, k, v, rh, rw, *, scale: float, kh: int,
                             kw: int, interpret: bool | None = None):
     """softmax((q*scale) @ k^T + expand(rh) + expand(rw)) @ v, fused.
 
     q/k/v: (BH, N, D) with N = kh*kw tokens in row-major (h, w) order;
     rh: (BH, N, kh) f32 q-contracted height bias; rw: (BH, N, kw) f32.
-    Returns (BH, N, D) in q.dtype. Block size over q chosen so the f32
-    logits block stays a few MB of VMEM.
+    Returns (BH, N, D) in q.dtype. Differentiable: backward is the VJP of
+    the identical stock formula (_attn_stock).
     """
+    return _attn_cvjp(q, k, v, rh, rw, scale, kh, kw, interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('scale', 'kh', 'kw', 'interpret'))
+def _attn_fwd_impl(q, k, v, rh, rw, scale: float, kh: int,
+                   kw: int, interpret: bool | None = None):
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
     bh, n, d = q.shape
@@ -77,9 +129,7 @@ def attention_with_rel_bias(q, k, v, rh, rw, *, scale: float, kh: int,
     # the bias carries the same precision as the bf16 q/k products it
     # joins (f32 accumulation either way)
     dt = q.dtype
-    cols = jnp.arange(n)
-    eh = (cols[None, :] // kw == jnp.arange(kh)[:, None]).astype(dt)
-    ew = (cols[None, :] % kw == jnp.arange(kw)[:, None]).astype(dt)
+    eh, ew = _expanders(n, kh, kw, dt)
     rh = rh.astype(dt)
     rw = rw.astype(dt)
     # qb=256 keeps the f32 logits block + its exp at 4 MB each — inside the

@@ -24,7 +24,8 @@ layer-1 image-to-token) and after layer-1's (keys1 + delta -> keys2, k/v
 for the final attention; keys2 is also the mask-upscaling source).
 
 Same math as factored_decoder._two_way_block_dense (f32 LN moments,
-eps 1e-5); equality asserted in tests/test_sam.py.
+eps 1e-5); equality asserted in
+tests/test_sam.py::test_two_way_transformer_dense_fused_equals_stock.
 
 Capability parity target: segment-anything's TwoWayTransformer as driven
 by the reference's everything mode (regda/utils/local_region_homog.py:30-39);

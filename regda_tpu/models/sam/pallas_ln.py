@@ -33,10 +33,46 @@ def _kernel(x_ref, w_ref, b_ref, o_ref, *, eps: float):
                   + b_ref[0][None, :]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=('eps', 'interpret'))
+def _stock(x, scale, bias, eps):
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32)
+            + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _layernorm_cvjp(x, scale, bias, eps, interpret):
+    return _layernorm_fwd_impl(x, scale, bias, eps, interpret)
+
+
+def _layernorm_fwd(x, scale, bias, eps, interpret):
+    return _layernorm_fwd_impl(x, scale, bias, eps, interpret), \
+        (x, scale, bias)
+
+
+def _layernorm_bwd(eps, interpret, res, g):
+    x, scale, bias = res
+    _, vjp = jax.vjp(lambda a, w, b: _stock(a, w, b, eps), x, scale, bias)
+    return vjp(g)
+
+
+_layernorm_cvjp.defvjp(_layernorm_fwd, _layernorm_bwd)
+
+
 def layernorm(x, scale, bias, eps: float = 1e-6,
               interpret: bool | None = None):
-    """LayerNorm over the last axis of x (any leading shape), f32 moments."""
+    """LayerNorm over the last axis of x (any leading shape), f32 moments.
+
+    Differentiable: the backward pass is the VJP of the identical stock
+    XLA formula (the Pallas kernel only accelerates the forward)."""
+    return _layernorm_cvjp(x, scale, bias, eps, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=('eps', 'interpret'))
+def _layernorm_fwd_impl(x, scale, bias, eps: float = 1e-6,
+                        interpret: bool | None = None):
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
     lead = x.shape[:-1]

@@ -94,7 +94,62 @@ def _kernel(src_ref, k1_ref, b1_ref, m_ref, lnw_ref, lnb_ref,
     out_ref[0] = out.astype(out_ref.dtype)               # (P, M*16)
 
 
-@functools.partial(jax.jit, static_argnames=('out_dtype', 'interpret'))
+def _interleave(out, b, h, w, m):
+    """(B, HW, M*16) blocked masks -> (B, M, 4H, 4W); col = (m,dy,dx,gy,gx)."""
+    masks = out.reshape(b, h, w, m, 2, 2, 2, 2)
+    masks = masks.transpose(0, 3, 1, 4, 6, 2, 5, 7)
+    return masks.reshape(b, m, 4 * h, 4 * w)
+
+
+def _upscale_stock(src, hyper_in, k1, b1, lnw, lnb, k2, b2, out_dtype):
+    """Pure-XLA twin of the fused kernel (exact gelu); the VJP rule."""
+    f32 = jnp.float32
+    b, h, w, c = src.shape
+    m, c8 = hyper_in.shape[1:]
+    c4 = k1.shape[1] // 4
+    dt = k1.dtype
+    x = src.reshape(b, h * w, c).astype(dt)
+    t1 = jnp.einsum('bpc,cf->bpf', x, k1,
+                    preferred_element_type=f32) + b1[0][None, None]
+    t1 = t1.reshape(b, h * w, 4, c4)
+    mu = t1.mean(-1, keepdims=True)
+    var = ((t1 - mu) ** 2).mean(-1, keepdims=True)
+    y = (t1 - mu) * jax.lax.rsqrt(var + 1e-6)
+    y = (y * lnw[0].astype(f32) + lnb[0].astype(f32)).astype(dt)
+    y = jax.nn.gelu(y, approximate=False)
+    t2 = jnp.einsum('bpkc,cf->bpkf', y.astype(dt), k2,
+                    preferred_element_type=f32)
+    t2 = (t2 + b2[0][None, None, None]).astype(dt)   # (B, HW, 4, 4*c8)
+    t2 = jax.nn.gelu(t2, approximate=False)
+    g = t2.reshape(b, h * w, 16, c8)
+    out = jnp.einsum('bpkc,bmc->bpmk', g.astype(dt), hyper_in.astype(dt),
+                     preferred_element_type=f32)
+    out = out.reshape(b, h * w, m * 16).astype(out_dtype)
+    return _interleave(out, b, h, w, m)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _upscale_cvjp(src, hyper_in, k1, b1, lnw, lnb, k2, b2, out_dtype,
+                  interpret):
+    return _upscale_fwd_impl(src, hyper_in, k1, b1, lnw, lnb, k2, b2,
+                             out_dtype, interpret)
+
+
+def _upscale_fwd(src, hyper_in, k1, b1, lnw, lnb, k2, b2, out_dtype,
+                 interpret):
+    return (_upscale_fwd_impl(src, hyper_in, k1, b1, lnw, lnb, k2, b2,
+                              out_dtype, interpret),
+            (src, hyper_in, k1, b1, lnw, lnb, k2, b2))
+
+
+def _upscale_bwd(out_dtype, interpret, res, g):
+    _, vjp = jax.vjp(lambda *a: _upscale_stock(*a, out_dtype), *res)
+    return vjp(g)
+
+
+_upscale_cvjp.defvjp(_upscale_fwd, _upscale_bwd)
+
+
 def upscale_hyper_masks(src, hyper_in, k1, b1, lnw, lnb, k2, b2,
                         out_dtype=jnp.float32,
                         interpret: bool | None = None):
@@ -103,8 +158,17 @@ def upscale_hyper_masks(src, hyper_in, k1, b1, lnw, lnb, k2, b2,
 
     k1 (C, 4*(C//4)) / k2 (C//4, 4*(C//8)): pre-flattened UpscaleLinear
     kernels (block order (dy, dx, f)); b1/b2 the 4x-tiled biases; lnw/lnb
-    the LayerNorm2d affine over C//4.
+    the LayerNorm2d affine over C//4. Differentiable: backward is the VJP
+    of the exact-gelu stock twin (_upscale_stock).
     """
+    return _upscale_cvjp(src, hyper_in, k1, b1, lnw, lnb, k2, b2,
+                         out_dtype, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=('out_dtype', 'interpret'))
+def _upscale_fwd_impl(src, hyper_in, k1, b1, lnw, lnb, k2, b2,
+                      out_dtype=jnp.float32,
+                      interpret: bool | None = None):
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
     b, h, w, c = src.shape
@@ -161,9 +225,7 @@ def upscale_hyper_masks(src, hyper_in, k1, b1, lnw, lnb, k2, b2,
     )(src_flat, k1, b1.astype(f32), pool_m, lnw_t, lnb_t, k2bd,
       b2_t, hbd)
     # depth-to-space on the blocked masks: col = (m, dy, dx, gy, gx)
-    masks = out.reshape(b, h, w, m, 2, 2, 2, 2)
-    masks = masks.transpose(0, 3, 1, 4, 6, 2, 5, 7)
-    return masks.reshape(b, m, 4 * h, 4 * w)
+    return _interleave(out, b, h, w, m)
 
 
 def upscale_params_from_decoder(params, dtype):
@@ -173,10 +235,10 @@ def upscale_params_from_decoder(params, dtype):
     spatially flipped (lax ConvTranspose convention), reshaped to
     (C_in, 4*C_out) with block order (dy, dx, f); biases tiled 4x.
     """
+    from regda_tpu.models.sam.decoder import flatten_convt_kernel
+
     def flat_kernel(kernel):
-        c_in = kernel.shape[2]
-        return (kernel[::-1, ::-1].astype(dtype).transpose(2, 0, 1, 3)
-                .reshape(c_in, -1))
+        return flatten_convt_kernel(kernel, dtype)
 
     k1 = flat_kernel(params['upscale_conv1']['kernel'])
     b1 = jnp.tile(params['upscale_conv1']['bias'], 4).astype(

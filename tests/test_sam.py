@@ -445,7 +445,7 @@ def test_attention_pallas_fused_equals_stock():
     v = stock.init(jax.random.PRNGKey(1), x)
     # zeros-init rel tables are degenerate; use random ones
     v = jax.tree.map(lambda a: jax.random.normal(
-        jax.random.PRNGKey(hash(str(a.shape)) % 2**31), a.shape) * 0.1, v)
+        jax.random.PRNGKey(int(np.prod(a.shape)) % 2**31), a.shape) * 0.1, v)
     ref = stock.apply(v, x)
     got = fused.apply(v, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
@@ -495,3 +495,78 @@ def test_pallas_layernorm_matches_stock():
         ref = (xf - mu) / np.sqrt(var + eps) * np.asarray(w) + np.asarray(b)
         np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-5,
                                    atol=2e-5)
+
+
+def test_two_way_transformer_dense_fused_equals_stock():
+    """The REGDA_FUSED_KEYS ln_project path == the stock dense transformer
+    (pallas_keys kernel runs in interpret mode off-TPU)."""
+    from regda_tpu.models.sam.decoder import MaskDecoder
+    from regda_tpu.models.sam.factored_decoder import (
+        two_way_transformer_dense, two_way_transformer_dense_fused)
+    dec = MaskDecoder(dtype=jnp.float32)
+    emb = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 256))
+    pe = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 256))
+    sparse = jax.random.normal(jax.random.PRNGKey(3), (5, 2, 256))
+    dense = jax.random.normal(jax.random.PRNGKey(4), (1, 8, 8, 256))
+    variables = dec.init(jax.random.PRNGKey(0), emb, pe, sparse, dense)
+    params = variables['params']['transformer']
+    tokens = jax.random.normal(jax.random.PRNGKey(5), (5, 7, 256))
+    q0, k0 = two_way_transformer_dense(params, emb, pe, tokens)
+    q1, k1 = two_way_transformer_dense_fused(params, emb, pe, tokens)
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q0),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(k1), np.asarray(k0),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sam_kernels_differentiable():
+    """All three SAM Pallas kernels have custom VJPs: gradients through
+    the fused forward == gradients of the stock XLA twin."""
+    rng = np.random.RandomState(0)
+
+    from regda_tpu.models.sam.pallas_ln import layernorm, _stock as ln_stock
+    x = jnp.asarray(rng.randn(2, 64, 96).astype(np.float32))
+    w = jnp.asarray(rng.randn(96).astype(np.float32))
+    b = jnp.asarray(rng.randn(96).astype(np.float32))
+    g1 = jax.grad(lambda a, s, c: jnp.sum(layernorm(a, s, c) ** 2),
+                  argnums=(0, 1, 2))(x, w, b)
+    g2 = jax.grad(lambda a, s, c: jnp.sum(ln_stock(a, s, c, 1e-6) ** 2),
+                  argnums=(0, 1, 2))(x, w, b)
+    for a, c in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-4, atol=1e-4)
+
+    from regda_tpu.models.sam.pallas_attention import (
+        attention_with_rel_bias, _attn_stock)
+    q = jnp.asarray(rng.randn(2, 16, 32).astype(np.float32))
+    k = jnp.asarray(rng.randn(2, 16, 32).astype(np.float32))
+    v = jnp.asarray(rng.randn(2, 16, 32).astype(np.float32))
+    rh = jnp.asarray(rng.randn(2, 16, 4).astype(np.float32))
+    rw = jnp.asarray(rng.randn(2, 16, 4).astype(np.float32))
+    fn = lambda *a: jnp.sum(attention_with_rel_bias(
+        *a, scale=0.25, kh=4, kw=4) ** 2)
+    fs = lambda *a: jnp.sum(_attn_stock(*a, 0.25, 4, 4) ** 2)
+    g1 = jax.grad(fn, argnums=(0, 1, 2, 3, 4))(q, k, v, rh, rw)
+    g2 = jax.grad(fs, argnums=(0, 1, 2, 3, 4))(q, k, v, rh, rw)
+    for a, c in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-3, atol=1e-3)
+
+    from regda_tpu.models.sam.pallas_upscale import (
+        upscale_hyper_masks, _upscale_stock)
+    src = jnp.asarray(rng.randn(1, 8, 8, 64).astype(np.float32))
+    hyper = jnp.asarray(rng.randn(1, 4, 8).astype(np.float32))
+    k1 = jnp.asarray(rng.randn(64, 64).astype(np.float32))
+    b1 = jnp.asarray(rng.randn(1, 64).astype(np.float32))
+    lnw = jnp.asarray(rng.randn(1, 16).astype(np.float32))
+    lnb = jnp.asarray(rng.randn(1, 16).astype(np.float32))
+    k2 = jnp.asarray(rng.randn(16, 32).astype(np.float32))
+    b2 = jnp.asarray(rng.randn(1, 32).astype(np.float32))
+    args = (src, hyper, k1, b1, lnw, lnb, k2, b2)
+    fn = lambda *a: jnp.sum(upscale_hyper_masks(*a) ** 2)
+    fs = lambda *a: jnp.sum(_upscale_stock(*a, jnp.float32) ** 2)
+    g1 = jax.grad(fn, argnums=tuple(range(8)))(*args)
+    g2 = jax.grad(fs, argnums=tuple(range(8)))(*args)
+    for a, c in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-3, atol=1e-3)
