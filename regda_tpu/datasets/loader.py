@@ -51,13 +51,34 @@ class DALoader:
         self.drop_last = True if self.training else False
         self.seed = seed
         self._epoch = 0
+        # optional k-fold cross-validation subset, reference parity with
+        # ever's CrossValSamplerGenerator (daLoader.py:36-47: CV dict with
+        # k folds / fold index i; i = -1 disables, as all shipped configs
+        # do). A seeded shuffle partitions the dataset; training loaders
+        # take every fold but i, eval loaders take fold i.
+        cv = config.get('CV') or {}
+        self._cv_subset = None
+        k, i = int(cv.get('k', 10) or 10), int(cv.get('i', -1))
+        if i >= 0:
+            assert i < k, (i, k)
+            order = np.random.default_rng(seed).permutation(
+                len(self.dataset))
+            folds = np.array_split(order, k)
+            self._cv_subset = (np.concatenate(
+                [f for j, f in enumerate(folds) if j != i])
+                if self.training else folds[i])
+
+    def _base_indices(self) -> np.ndarray:
+        if self._cv_subset is not None:
+            return self._cv_subset.copy()
+        return np.arange(len(self.dataset))
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self._base_indices())
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _epoch_indices(self) -> np.ndarray:
-        idx = np.arange(len(self.dataset))
+        idx = self._base_indices()
         if self.training:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(idx)

@@ -173,3 +173,32 @@ def test_full_pipeline(data_root, tmp_path):
                               label_t_prob=bt['cls'].astype(np.float32),
                               regs_t=bt['sup'].astype(np.int32))
         assert np.isfinite(float(m['total']))
+
+
+def test_daloader_cross_validation_folds(data_root, tmp_path):
+    """CV={'k': 2, 'i': j}: train/eval loaders partition the dataset into
+    complementary folds (reference: ever CrossValSamplerGenerator via
+    daLoader.py:36-47; all shipped configs disable it with i=-1)."""
+    cfg = _cfg(data_root, tmp_path)
+    base = dict(cfg.SOURCE_DATA_CONFIG)
+    base['batch_size'] = 1
+    seen = {}
+    for role, train in (('train', True), ('eval', False)):
+        fold_files = []
+        for i in range(2):
+            c = dict(base, training=train, CV=dict(k=2, i=i))
+            loader = DALoader(c, 'IsprsDA')
+            files = sorted(f for b in loader for f in b['fname'])
+            fold_files.append(files)
+        seen[role] = fold_files
+    n = 4  # tiles in Src/train
+    for i in range(2):
+        tr, ev = set(seen['train'][i]), set(seen['eval'][i])
+        assert tr and ev and not (tr & ev)
+        assert len(tr) + len(ev) == n
+    # the two eval folds cover the dataset exactly once
+    assert not (set(seen['eval'][0]) & set(seen['eval'][1]))
+    assert len(set(seen['eval'][0]) | set(seen['eval'][1])) == n
+    # i=-1 (default) keeps the full dataset
+    full = DALoader(dict(base, CV=dict(k=2, i=-1)), 'IsprsDA')
+    assert len(full) == n
