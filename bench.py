@@ -62,10 +62,19 @@ def main():
         return y
 
     np.asarray(run(variables, x)[0, 0, 0, :1])  # compile + first exec
+    # pipeline several scanned dispatches: each call's input is the
+    # previous call's output, so device execution stays serialized by the
+    # data dependence while the tunnel's ~10 ms per-dispatch RPC latency
+    # overlaps the previous call's ~225 ms of device work. Only the first
+    # dispatch and the final 4-byte host read are exposed.
+    chains = int(os.environ.get('BENCH_CHAINS', '8'))
     t0 = time.perf_counter()
-    np.asarray(run(variables, x)[0, 0, 0, :1])  # full chain executed
+    y = x
+    for _ in range(chains):
+        y = run(variables, y)
+    np.asarray(y[0, 0, 0, :1])  # full chain executed
     dt = time.perf_counter() - t0
-    tiles_per_sec = batch * iters / dt
+    tiles_per_sec = batch * iters * chains / dt
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              'bench_baseline.json')

@@ -3,10 +3,10 @@
 
 Prints one JSON line like bench.py. Uses the device-resident region path
 (SamRegionGenerator.generate_regions_batch) with ViT-B, 32x32 points, the
-reference's thresholds (local_region_homog.py:32-39), crop_n_layers
-configurable (reference uses 1; default here 0 = single crop, the
-dominant production configuration for 512-tiles which SAM itself resizes
-to 1024 anyway).
+reference's thresholds AND crop pyramid (local_region_homog.py:32-39:
+crop_n_layers=1, crop_n_points_downscale_factor=2 — the reference-parity
+configuration, now the default here; set BENCH_SAM_CROPS=0 for the
+single-crop variant).
 """
 
 import json
@@ -28,7 +28,7 @@ def main():
     except Exception:
         pass
 
-    crop_layers = int(os.environ.get('BENCH_SAM_CROPS', '0'))
+    crop_layers = int(os.environ.get('BENCH_SAM_CROPS', '1'))
     batch = int(os.environ.get('BENCH_SAM_BATCH', '8'))
     model = Sam(vit_config='vit_b')
     variables = model.init({'params': jax.random.PRNGKey(0)},

@@ -66,8 +66,16 @@ class DeeplabV2(nn.Module):
             if train:
                 return x1, x2, feat
             hw = x.shape[1:3]
-            x1 = resize_bilinear_align_corners(x1, hw)
-            x2 = resize_bilinear_align_corners(x2, hw)
+            # one fused full-res upsample for both heads: resize is a
+            # channel-independent linear map, so upsampling the channel
+            # concat is bit-equal to two separate upsamples (the softmaxes
+            # stay per-head, preserving reference Encoder.py:153-155
+            # upsample-then-softmax semantics) while halving the matmul
+            # pipelines at the bandwidth-bound full resolution
+            both = resize_bilinear_align_corners(
+                jnp.concatenate([x1, x2], axis=-1), hw)
+            x1 = both[..., :self.num_classes]
+            x2 = both[..., self.num_classes:]
             return (jax.nn.softmax(x1, axis=-1) + jax.nn.softmax(x2, axis=-1)) / 2
         x1 = self.cls_pred(feat, train=train)
         if train:

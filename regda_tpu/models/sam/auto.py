@@ -16,10 +16,14 @@ TPU-first pipeline per crop:
      (padded to a static mask budget) and transferred once;
   5. greedy box-NMS + region-id packing on host numpy (cheap, tiny data).
 
-Note: stability scores are computed on the 256x256 logits rather than the
-full-res upscaled logits (the original does the latter); the ratio is
-scale-invariant to first order and avoids materializing every candidate at
-full resolution.
+Note: by default, stability scores are computed on the 256x256 logits
+rather than the full-res upscaled logits (the original does the latter);
+the ratio is scale-invariant to first order and avoids materializing every
+candidate at full resolution. Pass stability_on_upscaled=True (or set
+REGDA_SAM_EXACT_STABILITY=1) for exact upstream parity — the resize chain
+is composed into one (crop, 256) matrix per axis and counting happens at
+crop resolution. Divergence between the two modes is quantified by
+tools/check_sam_stability.py (numbers in PERF.md).
 """
 
 from __future__ import annotations
@@ -180,6 +184,7 @@ class SamAutomaticMaskGenerator:
                  mask_budget: int = 256,
                  compute_dtype=jnp.bfloat16,
                  factored_decoder: Optional[bool] = None,
+                 stability_on_upscaled: Optional[bool] = None,
                  mesh=None):
         """mesh: optional jax.sharding.Mesh with a 'data' axis. When given,
         SamRegionGenerator.generate_regions_batch shards the tile batch
@@ -219,6 +224,20 @@ class SamAutomaticMaskGenerator:
         self.mask_budget = mask_budget
         self.compute_dtype = compute_dtype
         self.img_size = model.img_size
+        if stability_on_upscaled is None:
+            stability_on_upscaled = bool(
+                _os.environ.get('REGDA_SAM_EXACT_STABILITY'))
+        # exact-parity stability: upstream segment-anything computes the
+        # stability score on logits POSTPROCESSED to the original crop
+        # resolution (256 -> 1024 -> unpad -> crop size, bilinear), while
+        # the fast default scores the 256x256 low-res logits directly
+        # (scale-invariant to first order; divergence quantified in
+        # tools/check_sam_stability.py / PERF.md). The exact mode composes
+        # the resize chain into one (crop, 256) matrix per axis and counts
+        # on the crop-resolution logits — upstream behavior as pinned by
+        # /root/reference/requirement.txt:147 and configured at
+        # local_region_homog.py:32-39.
+        self.stability_on_upscaled = stability_on_upscaled
         self._jits: dict = {}
 
     # ------------------------------------------------------------ jit pieces
@@ -234,8 +253,23 @@ class SamAutomaticMaskGenerator:
             self._jits['encode'] = jax.jit(enc)
         return self._jits['encode']
 
-    def _decode_fn(self):
-        if 'decode' not in self._jits:
+    def _exact_stability_matrices(self, key_hw, low: int):
+        """Compose upstream postprocess_masks' resize chain
+        (low-res -> img_size bilinear, unpad to (nh, nw), -> (ch, cw)
+        bilinear, all half-pixel) into ONE (crop_dim, low) matrix per
+        axis."""
+        from regda_tpu.ops.resize import _interp_matrix_half_pixel
+        nh, nw, ch, cw = key_hw
+        u_h = _interp_matrix_half_pixel(low, self.img_size)[:nh]
+        u_w = _interp_matrix_half_pixel(low, self.img_size)[:nw]
+        m_h = _interp_matrix_half_pixel(nh, ch) @ u_h        # (ch, low)
+        m_w = _interp_matrix_half_pixel(nw, cw) @ u_w        # (cw, low)
+        return m_h.astype(np.float32), m_w.astype(np.float32)
+
+    def _decode_fn(self, key_hw=None):
+        exact = self.stability_on_upscaled and key_hw is not None
+        key = ('decode', key_hw if exact else None)
+        if key not in self._jits:
             off = self.stability_score_offset
             dt = self.compute_dtype
             factored = self.factored_decoder
@@ -254,32 +288,65 @@ class SamAutomaticMaskGenerator:
                     variables, embedding, pts, lbs, factored, fused, dt,
                     method=self.model.decode_points_fast)
                 # (P, 3, 256, 256), (P, 3)
-                # stability straight off the compute-dtype logits — the off
-                # thresholds (+-1.0) are exact in bf16, and summing the
-                # boolean compares in f32 avoids an f32 copy of the masks
-                inter = (masks > off).sum(axis=(-2, -1),
-                                          dtype=jnp.float32)
-                union = (masks > -off).sum(axis=(-2, -1),
-                                           dtype=jnp.float32)
+                if exact:
+                    # upstream parity: stability on crop-resolution logits
+                    # (group-scanned so only G masks are ever upscaled)
+                    p, m3, s, _ = masks.shape
+                    m_np = self._exact_stability_matrices(key_hw, s)
+                    m_h = jnp.asarray(m_np[0])
+                    m_w = jnp.asarray(m_np[1])
+                    flat = masks.reshape(p * m3, s, s)
+                    g = 24
+                    padg = (-flat.shape[0]) % g
+                    flat = jnp.pad(flat, ((0, padg), (0, 0), (0, 0)))
+                    grps = flat.reshape(-1, g, s, s)
+
+                    def body(carry, grp):
+                        y = jnp.einsum('hs,gsw->ghw', m_h.astype(grp.dtype),
+                                       grp, preferred_element_type=jnp.float32)
+                        y = jnp.einsum('ghw,cw->ghc',
+                                       y.astype(grp.dtype),
+                                       m_w.astype(grp.dtype),
+                                       preferred_element_type=jnp.float32)
+                        i = (y > off).sum(axis=(-2, -1), dtype=jnp.float32)
+                        u = (y > -off).sum(axis=(-2, -1), dtype=jnp.float32)
+                        return carry, (i, u)
+
+                    _, (inter, union) = jax.lax.scan(body, 0, grps)
+                    inter = inter.reshape(-1)[:p * m3].reshape(p, m3)
+                    union = union.reshape(-1)[:p * m3].reshape(p, m3)
+                else:
+                    # fast path: stability straight off the compute-dtype
+                    # low-res logits — the off thresholds (+-1.0) are exact
+                    # in bf16, and summing the boolean compares in f32
+                    # avoids an f32 copy of the masks
+                    inter = (masks > off).sum(axis=(-2, -1),
+                                              dtype=jnp.float32)
+                    union = (masks > -off).sum(axis=(-2, -1),
+                                               dtype=jnp.float32)
                 stability = inter / jnp.maximum(union, 1.0)
                 return masks, iou, stability
 
-            self._jits['decode'] = jax.jit(dec)
-        return self._jits['decode']
+            self._jits[key] = jax.jit(dec)
+        return self._jits[key]
 
-    def _decode_all_fn(self, n_pts: int):
+    def _decode_all_fn(self, n_pts: int, key_hw=None):
         """One jit over the whole point grid: scan decode chunks on device,
         filter by IoU/stability on device, keep the FIRST `mask_budget`
         passing masks (point order, matching the chunked host loop), and
         return only the selected low-res logits + scalars. One host
         transfer of (budget, 256, 256) instead of (P, 3, 256, 256) per-chunk
-        streams — the dominant tunnel cost of everything-mode."""
-        key = ('decode_all', n_pts)
+        streams — the dominant tunnel cost of everything-mode.
+
+        key_hw: (nh, nw, ch, cw) crop frame, used only by the exact
+        upstream-parity stability mode (stability_on_upscaled)."""
+        exact = self.stability_on_upscaled and key_hw is not None
+        key = ('decode_all', n_pts, key_hw if exact else None)
         if key not in self._jits:
             pb = self.points_per_batch
             budget = self.mask_budget
             t_iou, t_st = self.pred_iou_thresh, self.stability_score_thresh
-            decode_chunk = self._decode_fn()
+            decode_chunk = self._decode_fn(key_hw)
 
             def dec_all(variables, embedding, points, valid_pts):
                 """points: (n_pts, 2) padded; valid_pts: (n_pts,) bool."""
@@ -369,7 +436,8 @@ class SamAutomaticMaskGenerator:
         valid_pts = np.arange(len(pts_padded)) < n_pts
         # whole grid in ONE jit: decode + filter + first-budget selection on
         # device; only the selected logits/scalars come back
-        sel_logits, sel_iou, sel_ok = self._decode_all_fn(len(pts_padded))(
+        sel_logits, sel_iou, sel_ok = self._decode_all_fn(
+            len(pts_padded), (nh, nw, ch, cw))(
             self.variables, embedding, jnp.asarray(pts_padded),
             jnp.asarray(valid_pts))
         ok = np.asarray(sel_ok)
@@ -451,10 +519,23 @@ def regions_from_anns(anns: list[dict], size, area_threshold: int = 1024
     unassigned) keeping only masks with area >= threshold
     (local_region_homog.py:51-56)."""
     mask = np.zeros(size, np.int32)
+    max_id = 0
     for i, ann in enumerate(anns):
         if ann['area'] >= area_threshold:
             mask[ann['segmentation']] = i + 1
+            max_id = i + 1
+    if max_id >= _lrh_max_regions():
+        import warnings
+        warnings.warn(
+            f'region map contains id {max_id} >= LRH MAX_REGIONS '
+            f'({_lrh_max_regions()}); LRH will treat over-budget regions '
+            'as unassigned (pixels keep their original pseudo-label)')
     return mask
+
+
+def _lrh_max_regions() -> int:
+    from regda_tpu.ops.lrh import MAX_REGIONS
+    return MAX_REGIONS
 
 
 class SamRegionGenerator(SamAutomaticMaskGenerator):
@@ -571,7 +652,8 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
         pad = (-len(pts)) % pb
         pts_padded = np.concatenate([pts, np.zeros((pad, 2), np.float32)])
         valid = np.arange(len(pts_padded)) < len(pts)
-        sel_logits, sel_iou, sel_ok = self._decode_all_fn(len(pts_padded))(
+        sel_logits, sel_iou, sel_ok = self._decode_all_fn(
+            len(pts_padded), (nh, nw, ch, cw))(
             self.variables, embedding, jnp.asarray(pts_padded),
             jnp.asarray(valid))
         masks, boxes, areas = self._mask_stats_fn((nh, nw, ch, cw))(sel_logits)
@@ -611,6 +693,14 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
         scores = np.array([c[3] for c in cand])
         order = (nms_boxes(boxes, scores, self.crop_nms_thresh)
                  if len(crop_boxes) > 1 else np.argsort(-scores))
+        if len(order) >= _lrh_max_regions():
+            import warnings
+            warnings.warn(
+                f'{len(order)} regions survive NMS, >= LRH MAX_REGIONS '
+                f'({_lrh_max_regions()}); keeping the '
+                f'{_lrh_max_regions() - 1} highest-scoring so ids stay '
+                'within the LRH budget')
+            order = order[:_lrh_max_regions() - 1]
         # assign global ids in keep order (max-paint => higher id wins,
         # matching regions_from_anns' sequential overwrite)
         # ids sized to the actual device selection (min(budget, grid*3))
@@ -633,12 +723,13 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
 
 
     # ----------------------------------------------- batched (vmapped) jits
-    def _decode_all_batch_fn(self, n_pts: int):
-        key = ('decode_all_batch', n_pts)
+    def _decode_all_batch_fn(self, n_pts: int, key_hw=None):
+        exact = self.stability_on_upscaled and key_hw is not None
+        key = ('decode_all_batch', n_pts, key_hw if exact else None)
         if key not in self._jits:
             # reuse the single-sample decode_all body under vmap; embedding
             # keeps its leading 1 so decode_points sees (1, 64, 64, 256)
-            single = self._decode_all_fn(n_pts)
+            single = self._decode_all_fn(n_pts, key_hw)
 
             def batched(variables, embs, points, valid):
                 return jax.vmap(lambda e: single(variables, e, points,
@@ -748,7 +839,8 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
             # even two concurrent 1024-res ViT-B encodes (plus the decode's
             # candidate tensors) in 16G HBM, so larger tile batches go
             # through as consecutive n_dev-wide sharded dispatches
-            decode_b = self._decode_all_batch_fn(int(pts_padded.shape[0]))
+            decode_b = self._decode_all_batch_fn(int(pts_padded.shape[0]),
+                                                 (nh, nw, ch, cw))
             stats_b = self._mask_stats_packed_fn((nh, nw, ch, cw))
             enc_b = self._encode_batch_fn()
             parts = []
@@ -795,44 +887,105 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
             per_pos = self._phase1_sharded(tiles, crop_boxes, layer_idxs)
             return self._phases23(tiles, per_pos, crop_boxes, layer_idxs,
                                   h, w, area_threshold)
-        per_pos = []
-        for box, layer in zip(crop_boxes, layer_idxs):
+        per_pos = self._phase1_pyramid(tiles, crop_boxes, layer_idxs)
+        return self._phases23(tiles, per_pos, crop_boxes, layer_idxs,
+                              h, w, area_threshold)
+
+    def _phase1_pyramid(self, tiles, crop_boxes, layer_idxs):
+        """Single-chip phase 1 with the CROP PYRAMID batched per tile.
+
+        The reference's crop_n_layers=1 configuration
+        (local_region_homog.py:37) runs 5 independent 1024-res encodes per
+        tile (full image + 4 layer-1 crops). Instead of one dispatch per
+        crop position (the round-1 path), all positions of one tile are
+        preprocessed to the common (1024, 1024, 3) frame and encoded in ONE
+        batched ViT pass — better MXU occupancy and 5x fewer
+        encode/preprocess dispatches — then decoded per position-GROUP
+        (positions sharing crop size + point grid decode as one vmapped
+        call: for crop_n_layers=1 that is 1 + 4)."""
+        n_tiles = len(tiles)
+        # group crop positions by (ch, cw, layer): same preprocess jit,
+        # same point grid, same stats jit
+        groups: dict = {}
+        pos_meta = []
+        for ci, (box, layer) in enumerate(zip(crop_boxes, layer_idxs)):
             x0, y0, x1, y1 = box
-            ch = y1 - y0
-            cw = x1 - x0
-            pre, (nh, nw) = self._preprocess_device_fn((ch, cw))
+            key = (y1 - y0, x1 - x0, layer)
+            groups.setdefault(key, []).append(ci)
+            pos_meta.append((box, layer))
+
+        group_plan = []
+        for (ch, cw, layer), cis in groups.items():
+            pre_b, (nh, nw) = self._preprocess_batch_fn((ch, cw))
             n_side = self.points_per_side // (
                 self.crop_n_points_downscale_factor ** layer)
             grid = build_point_grid(n_side)
             pts = grid * np.array([nw, nh], np.float32)
             pb = self.points_per_batch
-            pad = (-len(pts)) % pb
+            padp = (-len(pts)) % pb
             pts_padded = jnp.asarray(np.concatenate(
-                [pts, np.zeros((pad, 2), np.float32)]))
+                [pts, np.zeros((padp, 2), np.float32)]))
             valid = jnp.asarray(np.arange(pts_padded.shape[0]) < len(pts))
-            decode = self._decode_all_fn(int(pts_padded.shape[0]))
-            stats = self._mask_stats_packed_fn((nh, nw, ch, cw))
-            packed_l, boxes_l, areas_l, iou_l, ok_l = [], [], [], [], []
-            for t in tiles:
-                crop = np.ascontiguousarray(t[y0:y1, x0:x1])
-                emb = self._encode_fn()(self.variables,
-                                        pre(jnp.asarray(crop)))
-                logits, iou, ok = decode(self.variables, emb, pts_padded,
-                                         valid)
-                packed, boxes, areas = stats(logits[None])
-                packed_l.append(packed[0])
-                boxes_l.append(boxes[0])
-                areas_l.append(areas[0])
-                iou_l.append(iou)
-                ok_l.append(ok)
-            per_pos.append(dict(packed=jnp.stack(packed_l),
-                                boxes=jnp.stack(boxes_l),
-                                areas=jnp.stack(areas_l),
-                                iou=jnp.stack(iou_l), ok=jnp.stack(ok_l),
-                                nh=nh, nw=nw, ch=ch, cw=cw))
+            group_plan.append(dict(
+                cis=cis, ch=ch, cw=cw, nh=nh, nw=nw, pre=pre_b,
+                pts=pts_padded, valid=valid,
+                decode=self._decode_all_batch_fn(
+                    int(pts_padded.shape[0]), (nh, nw, ch, cw)),
+                stats=self._mask_stats_packed_fn((nh, nw, ch, cw))))
 
-        return self._phases23(tiles, per_pos, crop_boxes, layer_idxs,
-                              h, w, area_threshold)
+        # per tile: preprocess every group, ONE encode over all positions,
+        # then per-group decode + stats. No host reads anywhere in phase 1:
+        # everything queues behind the previous tile's device work.
+        results = {ci: [] for ci in range(len(crop_boxes))}
+        for t in tiles:
+            pres = []
+            for g in group_plan:
+                crops = np.stack([
+                    np.ascontiguousarray(
+                        t[b[1]:b[3], b[0]:b[2]])
+                    for b in (pos_meta[ci][0] for ci in g['cis'])])
+                # vmapped preprocess emits (n, 1, 1024, 1024, 3)
+                pres.append(g['pre'](jnp.asarray(crops))[:, 0])
+            embs = self._concat_encode_fn(
+                tuple(p.shape[0] for p in pres))(self.variables, *pres)
+            off = 0
+            for g in group_plan:
+                n = len(g['cis'])
+                # embeddings keep a leading 1 for decode_points
+                logits, iou, ok = g['decode'](
+                    self.variables, embs[off:off + n, None], g['pts'],
+                    g['valid'])
+                packed, boxes, areas = g['stats'](logits)
+                for k, ci in enumerate(g['cis']):
+                    results[ci].append((packed[k], boxes[k], areas[k],
+                                        iou[k], ok[k]))
+                off += n
+
+        per_pos = []
+        for ci, (box, layer) in enumerate(zip(crop_boxes, layer_idxs)):
+            g = next(g for g in group_plan if ci in g['cis'])
+            fields = list(zip(*results[ci]))
+            per_pos.append(dict(
+                packed=jnp.stack(fields[0]), boxes=jnp.stack(fields[1]),
+                areas=jnp.stack(fields[2]), iou=jnp.stack(fields[3]),
+                ok=jnp.stack(fields[4]),
+                nh=g['nh'], nw=g['nw'], ch=g['ch'], cw=g['cw']))
+        return per_pos
+
+    def _concat_encode_fn(self, sizes: tuple):
+        """jit: concat preprocessed crop batches -> one batched encode."""
+        key = ('concat_encode', sizes)
+        if key not in self._jits:
+            dt = self.compute_dtype
+
+            def enc(variables, *xs):
+                x = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=0)
+                out = self.model.apply(variables, x.astype(dt),
+                                       method=self.model.encode)
+                return out.astype(jnp.float32)
+
+            self._jits[key] = jax.jit(enc)
+        return self._jits[key]
 
     def _phases23(self, tiles, per_pos, crop_boxes, layer_idxs, h, w,
                   area_threshold):
@@ -865,6 +1018,13 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
                 scores = np.array([c[3] for c in cand])
                 order = (nms_boxes(boxes, scores, self.crop_nms_thresh)
                          if len(crop_boxes) > 1 else np.argsort(-scores))
+                if len(order) >= _lrh_max_regions():
+                    import warnings
+                    warnings.warn(
+                        f'{len(order)} regions survive NMS, >= LRH '
+                        f'MAX_REGIONS ({_lrh_max_regions()}); keeping the '
+                        'highest-scoring within budget')
+                    order = order[:_lrh_max_regions() - 1]
                 for gid, oi in enumerate(order):
                     ci, mi, _, _ = cand[oi]
                     ids[ci][mi] = gid + 1

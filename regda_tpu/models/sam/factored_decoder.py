@@ -107,7 +107,9 @@ def fk_layernorm(fk: FactoredKeys, scale, bias, used: int,
     ex2 = (a * a * s_k[None]
            + 2.0 * a * jnp.einsum('btr,btr->bt', Pf, f)
            + jnp.einsum('btr,brs,bts->bt', Pf, m, Pf))
-    var = ex2 - mu * mu
+    # E[x^2]-mu^2 by cancellation from bf16-stored factors can round
+    # slightly below -eps; clamp so rsqrt stays finite on the bf16 path
+    var = jnp.maximum(ex2 - mu * mu, 0.0)
     s = jax.lax.rsqrt(var + eps)                         # (B, T)
     w = scale.astype(jnp.float32)
     dt = P.dtype
@@ -498,6 +500,87 @@ def two_way_transformer_dense_fused(params, image_embedding, image_pe,
     return queries, keys2
 
 
+def two_way_transformer_fused2(params, image_embedding, image_pe,
+                               point_embedding, num_heads=8,
+                               dtype=jnp.float32, interpret=None):
+    """two_way_transformer_dense with the whole prompt-resident core
+    (layer-0 image-to-token through the final attention) in ONE Pallas
+    kernel per prompt (pallas_twoway.py). The token-local layer-0 query
+    path and layer-1 self-attention stay in XLA. Identical math; requires
+    a batch-1 (shared) image embedding — the everything-mode setting."""
+    from regda_tpu.models.sam.pallas_twoway import NP, two_way_fused
+    b1, h, w, c = image_embedding.shape
+    assert b1 == 1, 'fused two-way requires a shared image embedding'
+    t = h * w
+    keys0 = image_embedding.reshape(t, c).astype(dtype)
+    key_pe = image_pe.reshape(-1, t, c)[0].astype(dtype)
+    qpe = point_embedding.astype(dtype)
+    queries = qpe
+    l0, l1 = params['layer0'], params['layer1']
+
+    # ---- layer 0 query path on SHARED keys (token-local + batch-1) ----
+    queries = _attention_dense(l0['self_attn'], queries, queries, queries,
+                               num_heads, dtype)
+    queries = _layernorm(queries, l0['norm1']['scale'], l0['norm1']['bias'])
+    k = (keys0 + key_pe)[None]
+    queries = queries + _attention_dense(
+        l0['cross_attn_token_to_image'], queries + qpe, k, keys0[None],
+        num_heads, dtype)
+    queries = _layernorm(queries, l0['norm2']['scale'], l0['norm2']['bias'])
+    mlp = _dense(l0['mlp_lin2'], jax.nn.relu(
+        _dense(l0['mlp_lin1'], queries, dtype)), dtype)
+    queries = _layernorm(queries + mlp, l0['norm3']['scale'],
+                         l0['norm3']['bias'])
+    i2t0 = l0['cross_attn_image_to_token']
+    ktok0 = _dense(i2t0['k_proj'], queries + qpe, dtype)    # (B, N, D)
+    vtok0 = _dense(i2t0['v_proj'], queries, dtype)
+    qimg0 = _dense(i2t0['q_proj'], keys0 + key_pe, dtype)   # (T, D)
+
+    # ---- layer 1 self-attention + norm1 (token-local) -----------------
+    q = queries + qpe
+    queries1 = queries + _attention_dense(l1['self_attn'], q, q, queries,
+                                          num_heads, dtype)
+    queries1 = _layernorm(queries1, l1['norm1']['scale'],
+                          l1['norm1']['bias'])
+
+    bsz, n, _ = queries1.shape
+    pad = NP - n
+    assert pad >= 0, f'two_way_fused supports <= {NP} tokens, got {n}'
+    padf = lambda x: jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    maskb = jnp.where(jnp.arange(NP) < n, 0.0, -1e9)[None].astype(
+        jnp.float32)
+    t2i1 = l1['cross_attn_token_to_image']
+    i2t1 = l1['cross_attn_image_to_token']
+    fat = params['final_attn_token_to_image']
+    weights = {
+        'wo0': i2t0['out_proj']['kernel'], 'bo0': i2t0['out_proj']['bias'],
+        'n40w': l0['norm4']['scale'], 'n40b': l0['norm4']['bias'],
+        'wqt': t2i1['q_proj']['kernel'], 'bqt': t2i1['q_proj']['bias'],
+        'wkt': t2i1['k_proj']['kernel'], 'bkt': t2i1['k_proj']['bias'],
+        'wvt': t2i1['v_proj']['kernel'], 'bvt': t2i1['v_proj']['bias'],
+        'wot': t2i1['out_proj']['kernel'], 'bot': t2i1['out_proj']['bias'],
+        'n2w': l1['norm2']['scale'], 'n2b': l1['norm2']['bias'],
+        'w1': l1['mlp_lin1']['kernel'], 'b1': l1['mlp_lin1']['bias'],
+        'w2': l1['mlp_lin2']['kernel'], 'b2': l1['mlp_lin2']['bias'],
+        'n3w': l1['norm3']['scale'], 'n3b': l1['norm3']['bias'],
+        'wqi': i2t1['q_proj']['kernel'], 'bqi': i2t1['q_proj']['bias'],
+        'wki': i2t1['k_proj']['kernel'], 'bki': i2t1['k_proj']['bias'],
+        'wvi': i2t1['v_proj']['kernel'], 'bvi': i2t1['v_proj']['bias'],
+        'woi': i2t1['out_proj']['kernel'], 'boi': i2t1['out_proj']['bias'],
+        'n41w': l1['norm4']['scale'], 'n41b': l1['norm4']['bias'],
+        'wqf': fat['q_proj']['kernel'], 'bqf': fat['q_proj']['bias'],
+        'wkf': fat['k_proj']['kernel'], 'bkf': fat['k_proj']['bias'],
+        'wvf': fat['v_proj']['kernel'], 'bvf': fat['v_proj']['bias'],
+        'wof': fat['out_proj']['kernel'], 'bof': fat['out_proj']['bias'],
+        'nfw': params['norm_final_attn']['scale'],
+        'nfb': params['norm_final_attn']['bias'],
+    }
+    keys2, qout = two_way_fused(
+        (padf(ktok0), padf(vtok0), padf(queries1), padf(qpe),
+         keys0, key_pe, qimg0, maskb, weights), num_heads, interpret)
+    return qout[:, :n], keys2
+
+
 def two_way_transformer_factored(params, image_embedding, image_pe,
                                  point_embedding, num_heads=8,
                                  dtype=jnp.float32):
@@ -592,6 +675,9 @@ def mask_decoder_fast(params, image_embeddings, image_pe, sparse_prompt,
     import os as _os
     if factored:
         transformer = two_way_transformer_factored
+    elif fused_upscale and _os.environ.get('REGDA_FUSED_TWOWAY'):
+        # prompt-resident fused two-way kernel (pallas_twoway.py)
+        transformer = two_way_transformer_fused2
     elif fused_upscale and _os.environ.get('REGDA_FUSED_KEYS'):
         # opt-in: the ln_project kernel measured SLOWER end-to-end (3.70 vs
         # 5.00 tiles/s) than XLA's own LN+projection fusions, which already

@@ -80,8 +80,51 @@ def _kernel(*refs, n_proj: int, has_shared: bool, has_prev: bool,
         proj_out[i][0] = (out + proj_b[i][0][None, :]).astype(dt)
 
 
-@functools.partial(
-    jax.jit, static_argnames=('add_pe', 'eps', 'block', 'interpret'))
+def _ln_project_stock(operands, add_pe, eps):
+    """XLA twin of the kernel math; its VJP is the kernel's backward."""
+    delta_pre, wout, bout, ln_w, ln_b, pe, projs, shared, prev = operands
+    f32 = jnp.float32
+    dt = wout.dtype
+    x = jnp.einsum('btd,dc->btc', delta_pre.astype(dt), wout.astype(dt),
+                   preferred_element_type=f32)
+    x = x + bout.astype(f32)[None, None, :]
+    if shared is not None:
+        x = x + shared.astype(dt).astype(f32)[None]
+    if prev is not None:
+        x = x + prev.astype(dt).astype(f32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    y = (x - mu) * jax.lax.rsqrt(var + eps)
+    y = y * ln_w.astype(f32) + ln_b.astype(f32)
+    keys = y.astype(dt)
+    keys_pe = keys + pe.astype(dt)[None]
+    outs = []
+    for i, (w, b) in enumerate(projs):
+        src = keys_pe if add_pe[i] else keys
+        o = jnp.einsum('btc,ck->btk', src, w.astype(dt),
+                       preferred_element_type=f32)
+        outs.append((o + b.astype(f32)[None, None, :]).astype(dt))
+    return keys, tuple(outs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _ln_project_cvjp(operands, add_pe, eps, block, interpret):
+    return _ln_project_fwd_impl(operands, add_pe, eps, block, interpret)
+
+
+def _ln_project_fwd(operands, add_pe, eps, block, interpret):
+    return (_ln_project_fwd_impl(operands, add_pe, eps, block, interpret),
+            operands)
+
+
+def _ln_project_bwd(add_pe, eps, block, interpret, res, g):
+    _, vjp = jax.vjp(lambda ops: _ln_project_stock(ops, add_pe, eps), res)
+    return vjp(g)
+
+
+_ln_project_cvjp.defvjp(_ln_project_fwd, _ln_project_bwd)
+
+
 def ln_project(delta_pre, wout, bout, ln_w, ln_b, pe, projs,
                shared=None, prev=None, add_pe=(), eps: float = 1e-5,
                block: int = 1024, interpret: bool | None = None):
@@ -92,7 +135,25 @@ def ln_project(delta_pre, wout, bout, ln_w, ln_b, pe, projs,
     pe: (T, C) positional encoding; projs: sequence of (W (C, Dk), b (Dk,));
     add_pe: per-projection bool, True projects keys+pe instead of keys.
     Returns (keys (B, T, C), [proj_i (B, T, Dk)]).
+
+    Differentiable: the backward pass is the VJP of the identical stock
+    XLA formula (_ln_project_stock), same pattern as pallas_attention.
     """
+    n_proj = len(projs)
+    add_pe = tuple(bool(x) for x in add_pe) or (False,) * n_proj
+    assert len(add_pe) == n_proj
+    operands = (delta_pre, wout, bout, ln_w, ln_b, pe,
+                tuple((w, b) for w, b in projs), shared, prev)
+    keys, outs = _ln_project_cvjp(operands, add_pe, eps, block, interpret)
+    return keys, list(outs)
+
+
+@functools.partial(
+    jax.jit, static_argnames=('add_pe', 'eps', 'block', 'interpret'))
+def _ln_project_fwd_impl(operands, add_pe=(), eps: float = 1e-5,
+                         block: int = 1024,
+                         interpret: bool | None = None):
+    delta_pre, wout, bout, ln_w, ln_b, pe, projs, shared, prev = operands
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
     b, t, dp = delta_pre.shape
@@ -157,4 +218,6 @@ def ln_project(delta_pre, wout, bout, ln_w, ln_b, pe, projs,
         out_specs=out_specs,
         interpret=interpret,
     )(*operands)
-    return outs[0], list(outs[1:])
+    # tuple (not list) so the output pytree structure matches
+    # _ln_project_stock's for the custom-VJP cotangents
+    return outs[0], tuple(outs[1:])

@@ -1,0 +1,353 @@
+"""Pallas TPU kernel: prompt-resident SAM two-way transformer.
+
+Everything-mode decodes B point prompts against ONE shared image embedding
+(T = 64*64 = 4096 tokens, C = 256). The moment layer-0's image-to-token
+update lands, the key state diverges per prompt, and the stock XLA path
+streams (B, T, C) key tensors plus their LN/projection/attention
+consumers through HBM several times per layer — the dominant decode cost
+measured on v5e (PERF.md). Partial fusions (the ln_project kernel) lost
+to XLA's own fusions; this kernel goes all the way: ONE program per
+prompt holds the full (T, C) key state in VMEM from layer-0's
+image-to-token update through the final attention, writing only the final
+keys2 and the 7-token query state.
+
+Per-prompt work is reassociated so no (T, D) projection of the key state
+is ever stored:
+
+  * token-to-image logits:  (keys+pe) @ (W_k @ Q~)  where Q~ is the
+    (D, H*N) block-diagonal embedding of the per-head query tokens — the
+    head-split k-projection collapses into one (T, C) x (C, H*N) matmul;
+    the k-bias folds into one (1, D) @ (D, H*N) row term.
+  * token-to-image values:  U = attn^T @ keys  (H*N, C), then the
+    per-head v-projection is U @ W_v masked back to head blocks; the
+    v-bias adds exactly (softmax rows sum to 1).
+  * image-to-token logits:  (keys+pe) @ (W_q @ K~) the same way, and the
+    attention-weighted token values apply through a block-diagonal V~.
+
+The query-side path that needs the keys (layer-1 token-to-image, MLP,
+image-to-token token projections, final attention) runs INSIDE the
+kernel; the purely token-local layer-0 path and layer-1 self-attention
+run outside in XLA (7-token work, negligible).
+
+Same math as factored_decoder.two_way_transformer_dense; the backward
+pass is the VJP of a stock XLA twin (_twoway_stock), like every other
+kernel in this package.
+
+Capability parity target: segment-anything's TwoWayTransformer as driven
+by the reference's everything mode (regda/utils/local_region_homog.py:
+30-39); built TPU-first rather than ported.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NP = 8          # padded token count (everything-mode uses 7)
+EPS = 1e-5      # torch nn.LayerNorm default, as in the SAM decoder
+
+
+def _ln(x, w, b, eps=EPS):
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return y * w.astype(jnp.float32) + b.astype(jnp.float32)
+
+
+def _kernel(ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
+            keys0_ref, pe_ref, qimg0_ref,
+            colmask_ref, rowmask_ref, maskb_ref,
+            wo0_ref, bo0_ref, n40w_ref, n40b_ref,
+            wqt_ref, bqt_ref, wkt_ref, bkt_ref, wvt_ref, bvt_ref,
+            wot_ref, bot_ref, n2w_ref, n2b_ref,
+            w1_ref, b1_ref, w2_ref, b2_ref, n3w_ref, n3b_ref,
+            wqi_ref, bqi_ref, wki_ref, bki_ref, wvi_ref, bvi_ref,
+            woi_ref, boi_ref, n41w_ref, n41b_ref,
+            wqf_ref, bqf_ref, wkf_ref, bkf_ref, wvf_ref, bvf_ref,
+            wof_ref, bof_ref, nfw_ref, nfb_ref,
+            keys2_out_ref, qout_ref,
+            *, num_heads: int, head_dim: int):
+    f32 = jnp.float32
+    dt = keys0_ref.dtype
+    h, hd = num_heads, head_dim
+    scale = 1.0 / (hd ** 0.5)
+    colmask = colmask_ref[...]                          # (D, H*NP) dt
+    rowmask = rowmask_ref[...]                          # (H*NP, D) dt
+    mb = maskb_ref[0].astype(f32)                       # (NP,)
+    t = keys0_ref.shape[0]
+
+    def dot(a, b):
+        return jnp.dot(a.astype(dt), b.astype(dt), preferred_element_type=f32)
+
+    def dot_t(a, b):
+        # contract dim 0 of a (T, X) with dim 0 of b (T, Y) -> (X, Y)
+        return jax.lax.dot_general(
+            a.astype(dt), b.astype(dt), (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+
+    def softmax_groups(logits):
+        # (T, H*NP) -> per-(head, token) softmax over NP with pad mask
+        l3 = logits.reshape(t, h, NP) + mb[None, None, :]
+        return jax.nn.softmax(l3, axis=-1).reshape(t, h * NP)
+
+    def softmax_t(logits):
+        # (T, H*NP): softmax over T per column
+        mx = jnp.max(logits, axis=0, keepdims=True)
+        ex = jnp.exp(logits - mx)
+        return ex / jnp.sum(ex, axis=0, keepdims=True)
+
+    def block_cols(tok):
+        # (NP, D) token matrix -> (D, H*NP) block-diagonal column embed
+        return jnp.tile(tok.T, (1, h)).reshape(
+            tok.shape[1], h * NP) * colmask
+
+    def block_rows(tok):
+        # (NP, D) -> (H*NP, D) block-diagonal row embed
+        return jnp.tile(tok, (h, 1)) * rowmask
+
+    def merge_heads(o_full):
+        # (H*NP, D) per-head outputs -> (NP, D) merged (block select + sum)
+        return (o_full * rowmask.astype(f32)).reshape(h, NP, -1).sum(0)
+
+    # ---------------- layer 0: image-to-token update -> keys1 ----------
+    kt0 = ktok0_ref[0]                                  # (NP, D)
+    vt0 = vtok0_ref[0]
+    logits0 = dot(qimg0_ref[...], block_cols(kt0)) * scale
+    attn0 = softmax_groups(logits0)
+    delta0 = dot(attn0, block_rows(vt0))                # (T, D) f32
+    x1 = dot(delta0, wo0_ref[...]) + bo0_ref[0][None, :].astype(jnp.float32)
+    x1 = x1 + keys0_ref[...].astype(jnp.float32)
+    keys1 = _ln(x1, n40w_ref[0][None, :], n40b_ref[0][None, :]).astype(dt)
+    k1pe = keys1 + pe_ref[...].astype(dt)
+
+    # ---------------- layer 1: token-to-image (query side) -------------
+    q1 = q1_ref[0].astype(f32)                          # (NP, C)
+    qpe = qpe_ref[0].astype(f32)
+    qtok = dot(q1 + qpe, wqt_ref[...]) + bqt_ref[0][None, :].astype(f32)
+    qblk = block_cols(qtok.astype(dt))                  # (D, H*NP)
+    e1 = dot(wkt_ref[...], qblk)                        # (C, H*NP) f32
+    brow = dot(bkt_ref[...], qblk)                      # (1, H*NP)
+    logits_t = (dot(k1pe, e1.astype(dt)) + brow) * scale
+    attn_t = softmax_t(logits_t)                        # (T, H*NP) f32
+    u = dot_t(attn_t, keys1)                            # (H*NP, C) f32
+    o_full = dot(u, wvt_ref[...])                       # (H*NP, D) f32
+    merged = merge_heads(o_full) + bvt_ref[0][None, :].astype(f32)
+    out_t = dot(merged, wot_ref[...]) + bot_ref[0][None, :].astype(f32)
+    q2 = _ln(q1 + out_t, n2w_ref[0][None, :], n2b_ref[0][None, :])
+    mlp = dot(jax.nn.relu(dot(q2, w1_ref[...])
+                          + b1_ref[0][None, :].astype(f32)), w2_ref[...])
+    mlp = mlp + b2_ref[0][None, :].astype(f32)
+    q3 = _ln(q2 + mlp, n3w_ref[0][None, :], n3b_ref[0][None, :])
+
+    # ---------------- layer 1: image-to-token update -> keys2 ----------
+    qp3 = q3 + qpe
+    ktok1 = dot(qp3, wki_ref[...]) + bki_ref[0][None, :].astype(f32)
+    vtok1 = dot(q3, wvi_ref[...]) + bvi_ref[0][None, :].astype(f32)
+    kblk = block_cols(ktok1.astype(dt))
+    f1 = dot(wqi_ref[...], kblk)                        # (C, H*NP)
+    browi = dot(bqi_ref[...], kblk)
+    logits_i = (dot(k1pe, f1.astype(dt)) + browi) * scale
+    attn_i = softmax_groups(logits_i)
+    delta1 = dot(attn_i, block_rows(vtok1.astype(dt)))
+    x2 = dot(delta1, woi_ref[...]) + boi_ref[0][None, :].astype(f32)
+    x2 = x2 + keys1.astype(f32)
+    keys2 = _ln(x2, n41w_ref[0][None, :], n41b_ref[0][None, :]).astype(dt)
+    keys2_out_ref[0] = keys2
+
+    # ---------------- final token-to-image attention --------------------
+    qtokf = dot(qp3, wqf_ref[...]) + bqf_ref[0][None, :].astype(f32)
+    qblkf = block_cols(qtokf.astype(dt))
+    ef = dot(wkf_ref[...], qblkf)
+    browf = dot(bkf_ref[...], qblkf)
+    k2pe = keys2 + pe_ref[...].astype(dt)
+    logits_f = (dot(k2pe, ef.astype(dt)) + browf) * scale
+    attn_f = softmax_t(logits_f)
+    uf = dot_t(attn_f, keys2)
+    of = dot(uf, wvf_ref[...])
+    mergedf = merge_heads(of) + bvf_ref[0][None, :].astype(f32)
+    outf = dot(mergedf, wof_ref[...]) + bof_ref[0][None, :].astype(f32)
+    qfin = _ln(q3 + outf, nfw_ref[0][None, :], nfb_ref[0][None, :])
+    qout_ref[0] = qfin.astype(dt)
+
+
+def _twoway_stock(operands, num_heads: int):
+    """XLA twin of the kernel math (vmapped over prompts); its VJP is the
+    kernel's backward. Plain multi-head attention forms, mathematically
+    identical to the kernel's reassociated forms (t2i attends with
+    k = keys+pe but takes values from keys WITHOUT pe, per the SAM
+    decoder)."""
+    (ktok0, vtok0, q1, qpe, keys0, pe, qimg0, maskb, w) = operands
+    f32 = jnp.float32
+    dt = keys0.dtype
+    h = num_heads
+
+    def heads(x):
+        n, d = x.shape
+        return x.reshape(n, h, d // h).transpose(1, 0, 2)
+
+    def attn_t2i(qtok, keys_k, keys_v, kw, kb, vw, vb, ow, ob):
+        kp = keys_k @ kw.astype(dt) + kb.astype(dt)
+        vp = keys_v @ vw.astype(dt) + vb.astype(dt)
+        qh, kh, vh = heads(qtok.astype(dt)), heads(kp), heads(vp)
+        hd = qh.shape[-1]
+        logits = (qh @ kh.transpose(0, 2, 1)).astype(f32) / (hd ** 0.5)
+        a = jax.nn.softmax(logits, axis=-1).astype(dt)
+        o = (a @ vh).transpose(1, 0, 2).reshape(qtok.shape[0], -1)
+        return o @ ow.astype(dt) + ob.astype(dt)
+
+    def attn_i2t_delta(qimg, ktok, vtok):
+        qh, kh, vh = heads(qimg), heads(ktok.astype(dt)), heads(
+            vtok.astype(dt))
+        hd = qh.shape[-1]
+        logits = (qh @ kh.transpose(0, 2, 1)).astype(f32) / (hd ** 0.5)
+        logits = logits + maskb[0][None, None, :].astype(f32)
+        a = jax.nn.softmax(logits, axis=-1).astype(dt)
+        return (a @ vh).transpose(1, 0, 2).reshape(qimg.shape[0], -1)
+
+    def one(kt0, vt0, q1b, qpeb):
+        delta0 = attn_i2t_delta(qimg0.astype(dt), kt0, vt0)
+        x1 = (delta0 @ w['wo0'].astype(dt)).astype(f32) + w['bo0'].astype(
+            f32) + keys0.astype(f32)
+        keys1 = _ln(x1, w['n40w'], w['n40b']).astype(dt)
+        k1pe = keys1 + pe.astype(dt)
+        q1f = q1b.astype(f32)
+        qpef = qpeb.astype(f32)
+        qtok = ((q1f + qpef).astype(dt) @ w['wqt'].astype(dt)
+                ).astype(f32) + w['bqt'].astype(f32)
+        out_t = attn_t2i(qtok, k1pe, keys1, w['wkt'], w['bkt'], w['wvt'],
+                         w['bvt'], w['wot'], w['bot'])
+        q2 = _ln(q1f + out_t.astype(f32), w['n2w'], w['n2b'])
+        mlp = (jax.nn.relu((q2.astype(dt) @ w['w1'].astype(dt)).astype(f32)
+                           + w['b1'].astype(f32)).astype(dt)
+               @ w['w2'].astype(dt)).astype(f32) + w['b2'].astype(f32)
+        q3 = _ln(q2 + mlp, w['n3w'], w['n3b'])
+        qp3 = (q3 + qpef).astype(dt)
+        ktok1 = (qp3 @ w['wki'].astype(dt)).astype(f32) + w['bki'].astype(
+            f32)
+        vtok1 = (q3.astype(dt) @ w['wvi'].astype(dt)).astype(f32) + w[
+            'bvi'].astype(f32)
+        qimg1 = k1pe @ w['wqi'].astype(dt) + w['bqi'].astype(dt)
+        delta1 = attn_i2t_delta(qimg1, ktok1.astype(dt), vtok1.astype(dt))
+        x2 = (delta1 @ w['woi'].astype(dt)).astype(f32) + w['boi'].astype(
+            f32) + keys1.astype(f32)
+        keys2 = _ln(x2, w['n41w'], w['n41b']).astype(dt)
+        qtokf = (qp3 @ w['wqf'].astype(dt)).astype(f32) + w['bqf'].astype(
+            f32)
+        k2pe = keys2 + pe.astype(dt)
+        outf = attn_t2i(qtokf, k2pe, keys2, w['wkf'], w['bkf'], w['wvf'],
+                        w['bvf'], w['wof'], w['bof'])
+        qfin = _ln(q3 + outf.astype(f32), w['nfw'], w['nfb'])
+        return keys2, qfin.astype(dt)
+
+    return jax.vmap(one)(ktok0, vtok0, q1, qpe)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _twoway_cvjp(operands, num_heads, interpret):
+    return _twoway_fwd_impl(operands, num_heads, interpret)
+
+
+def _twoway_fwd(operands, num_heads, interpret):
+    return _twoway_fwd_impl(operands, num_heads, interpret), operands
+
+
+def _twoway_bwd(num_heads, interpret, res, g):
+    _, vjp = jax.vjp(lambda ops: _twoway_stock(ops, num_heads), res)
+    return vjp(g)
+
+
+_twoway_cvjp.defvjp(_twoway_fwd, _twoway_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=('num_heads', 'interpret'))
+def _twoway_fwd_impl(operands, num_heads: int = 8,
+                     interpret: bool | None = None):
+    (ktok0, vtok0, q1, qpe, keys0, pe, qimg0, maskb, w) = operands
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    b = ktok0.shape[0]
+    t, c = keys0.shape
+    d = ktok0.shape[-1]
+    hd = d // num_heads
+    dt = keys0.dtype
+    f32 = jnp.float32
+
+    import numpy as np
+    colmask = np.zeros((d, num_heads * NP), np.float32)
+    rowmask = np.zeros((num_heads * NP, d), np.float32)
+    for hh in range(num_heads):
+        colmask[hh * hd:(hh + 1) * hd, hh * NP:(hh + 1) * NP] = 1.0
+        rowmask[hh * NP:(hh + 1) * NP, hh * hd:(hh + 1) * hd] = 1.0
+    colmask = jnp.asarray(colmask, dt)
+    rowmask = jnp.asarray(rowmask, dt)
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    def per_prompt(shape):
+        return pl.BlockSpec((1,) + shape, lambda i: (i,) + tuple(
+            0 for _ in shape), memory_space=pltpu.VMEM)
+
+    wkeys = ['wo0', 'bo0', 'n40w', 'n40b',
+             'wqt', 'bqt', 'wkt', 'bkt', 'wvt', 'bvt', 'wot', 'bot',
+             'n2w', 'n2b',
+             'w1', 'b1', 'w2', 'b2', 'n3w', 'n3b',
+             'wqi', 'bqi', 'wki', 'bki', 'wvi', 'bvi', 'woi', 'boi',
+             'n41w', 'n41b',
+             'wqf', 'bqf', 'wkf', 'bkf', 'wvf', 'bvf', 'wof', 'bof',
+             'nfw', 'nfb']
+    weight_ops, weight_specs = [], []
+    for k in wkeys:
+        arr = w[k]
+        if arr.ndim == 1:                      # biases / norm params
+            arr = arr.astype(f32)[None]
+        else:
+            arr = arr.astype(dt)
+        weight_ops.append(arr)
+        weight_specs.append(const(arr.shape))
+
+    operands_flat = [ktok0.astype(dt), vtok0.astype(dt), q1.astype(dt),
+                     qpe.astype(dt), keys0.astype(dt), pe.astype(dt),
+                     qimg0.astype(dt), colmask, rowmask,
+                     maskb.astype(f32)] + weight_ops
+    in_specs = ([per_prompt((NP, d)), per_prompt((NP, d)),
+                 per_prompt((NP, c)), per_prompt((NP, c)),
+                 const((t, c)), const((t, c)), const((t, d)),
+                 const(colmask.shape), const(rowmask.shape),
+                 const((1, NP))] + weight_specs)
+
+    out_shapes = [jax.ShapeDtypeStruct((b, t, c), dt),
+                  jax.ShapeDtypeStruct((b, NP, c), dt)]
+    out_specs = [pl.BlockSpec((1, t, c), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, NP, c), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)]
+
+    keys2, qout = pl.pallas_call(
+        functools.partial(_kernel, num_heads=num_heads, head_dim=hd),
+        out_shape=out_shapes,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*operands_flat)
+    return keys2, qout
+
+
+def two_way_fused(operands, num_heads: int = 8,
+                  interpret: bool | None = None):
+    """Prompt-resident fused two-way transformer core.
+
+    operands: (ktok0 (B,NP,D), vtok0 (B,NP,D), q1 (B,NP,C), qpe (B,NP,C),
+    keys0 (T,C), pe (T,C), qimg0 (T,D), maskb (1,NP), weights dict).
+    Returns (keys2 (B,T,C), queries_out (B,NP,C)). Differentiable via the
+    VJP of the stock twin."""
+    return _twoway_cvjp(operands, num_heads, interpret)

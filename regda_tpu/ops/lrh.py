@@ -36,10 +36,15 @@ def region_histogram(label_onehot: jnp.ndarray, regions: jnp.ndarray,
                      use_pallas: bool | None = None) -> jnp.ndarray:
     """(B, N, C) one-hot labels + (B, N) int region ids -> (B, R, C) histogram.
 
-    Region ids >= num_regions are clamped into the last bucket (SAM emits
-    far fewer regions than the bound in practice).
+    Region ids outside [0, num_regions) are remapped to bucket 0
+    (= unassigned, which LRH ignores). The reference sizes its scatter by
+    the max id (local_region_homog.py:140) so it can never merge regions;
+    with a static bound the safe equivalent is to make over-budget regions
+    abstain rather than silently share the last bucket. SAM emits far
+    fewer regions than the bound in practice, and the generators warn at
+    region-map write time if the budget is ever exceeded.
     """
-    regions = jnp.clip(regions, 0, num_regions - 1)
+    regions = jnp.where((regions >= 0) & (regions < num_regions), regions, 0)
     if use_pallas is None:  # auto: MXU kernel on TPU, XLA scatter elsewhere
         import os
         use_pallas = (jax.default_backend() == 'tpu'
@@ -65,7 +70,11 @@ def homogenize(pseudo_labels: jnp.ndarray, regions: jnp.ndarray,
     b, h, w = pseudo_labels.shape
     n = h * w
     labels_flat = pseudo_labels.reshape(b, n)
-    regions_flat = jnp.clip(regions.reshape(b, n), 0, num_regions - 1)
+    regions_flat = regions.reshape(b, n)
+    # over-budget ids -> region 0: those pixels fall through to the
+    # re-weighting fallback (keep original label) instead of being merged
+    regions_flat = jnp.where(
+        (regions_flat >= 0) & (regions_flat < num_regions), regions_flat, 0)
 
     onehot = one_hot_ignore(labels_flat, num_classes, ignore_label)      # (B,N,C)
     hist = region_histogram(onehot, regions_flat, num_regions, use_pallas)  # (B,R,C)

@@ -105,9 +105,13 @@ class Trainer:
         weight files (SURVEY.md section 5: no failure recovery)."""
         import json
         save_pytree(self._state_path, jax.device_get(self.state))
-        with open(self._state_path + '.json', 'w') as f:
+        # atomic sidecar write: a crash mid-write must not leave a truncated
+        # JSON that breaks --auto-resume (or silently resets mIoU_max)
+        tmp = self._state_path + '.json.tmp'
+        with open(tmp, 'w') as f:
             json.dump({'mIoU_max': self.mIoU_max,
                        'iter_max': self.iter_max}, f)
+        os.replace(tmp, self._state_path + '.json')
 
     def try_resume(self) -> int:
         """Restore the full train state if one exists in SNAPSHOT_DIR.
@@ -122,10 +126,15 @@ class Trainer:
                       if self.mesh is not None else jax.device_put(restored))
         meta_path = self._state_path + '.json'
         if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                meta = json.load(f)
-            self.mIoU_max = float(meta.get('mIoU_max', 0.0))
-            self.iter_max = int(meta.get('iter_max', 0))
+            try:
+                with open(meta_path) as f:
+                    meta = json.load(f)
+                self.mIoU_max = float(meta.get('mIoU_max', 0.0))
+                self.iter_max = int(meta.get('iter_max', 0))
+            except (ValueError, OSError) as e:
+                self.logger.warning(
+                    f'auto-resume: unreadable sidecar {meta_path} ({e}); '
+                    'keeping mIoU_max=%.4f' % self.mIoU_max)
         start = int(np.asarray(jax.device_get(self.state.step)))
         self.logger.info(f'auto-resume: restored {self._state_path} at '
                          f'step {start} (best mIoU {self.mIoU_max:.4f} '

@@ -184,6 +184,52 @@ def test_predict_multiscale():
     np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-4)
 
 
+def test_predict_multiscale_matches_reference_oracle():
+    """predict_multiscale numerics == the reference's
+    ndimage.zoom(order=1) -> predict_whole -> align-corners upsample ->
+    average pipeline (regda/utils/tools.py:99-129), run through the torch
+    oracle model with converter-matched weights."""
+    import torch
+    import torch.nn.functional as tnf
+    from scipy import ndimage
+    from regda_tpu.models import build_deeplabv2
+    from regda_tpu.infer import SegInferencer
+    from regda_tpu.utils.torch_convert import torch_state_dict_to_variables
+    from tests.torch_oracle import Deeplabv2Oracle
+
+    torch.manual_seed(0)
+    oracle = Deeplabv2Oracle('resnet50', num_classes=6)
+    oracle.eval()
+    state = {k: v.numpy() for k, v in oracle.state_dict().items()}
+    variables = jax.tree.map(jnp.asarray,
+                             torch_state_dict_to_variables(state))
+    model = build_deeplabv2('resnet50', num_classes=6)
+
+    rng = np.random.default_rng(5)
+    h = w = 64
+    img_nchw = rng.normal(size=(1, 3, h, w)).astype(np.float32)
+    scales = (0.75, 1.0, 1.25)
+
+    # reference predict_multiscale (utils/tools.py:108-129): zoom the
+    # input (order-1 spline == align-corners bilinear), model eval forward
+    # (already full-res avg softmax at the scaled size), upsample to tile
+    # size with align_corners=True, accumulate, divide by len(scales)
+    full = torch.zeros((1, 6, h, w))
+    with torch.no_grad():
+        for scale in scales:
+            scaled = ndimage.zoom(img_nchw, (1.0, 1.0, scale, scale),
+                                  order=1, prefilter=False)
+            probs = oracle(torch.from_numpy(scaled))
+            full += tnf.interpolate(probs, (h, w), mode='bilinear',
+                                    align_corners=True)
+    want = (full / len(scales)).numpy()
+
+    inferencer = SegInferencer(model, variables, num_classes=6)
+    got = inferencer.predict_multiscale(
+        img_nchw.transpose(0, 2, 3, 1), scales=scales).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
 def test_sharded_inferencer_matches_single_device():
     """Mesh-sharded batch inference (data parallelism over 8 virtual
     devices) must reproduce the single-device probabilities."""

@@ -88,6 +88,56 @@ def test_homogenize_random_matches_oracle(percent):
     np.testing.assert_array_equal(got, want)
 
 
+def test_homogenize_region_budget_boundary():
+    """Ids at/over the static budget must ABSTAIN (keep original labels),
+    never merge into a shared bucket — the safe re-expression of the
+    reference's max-id-sized scatter (local_region_homog.py:140)."""
+    num_regions = 8
+    pseudo = np.zeros((1, 4, 8), np.int32)
+    regions = np.zeros((1, 4, 8), np.int32)
+    # region 7 (= num_regions-1, in budget): all class 2 -> homogenized
+    pseudo[0, 0] = 2
+    regions[0, 0] = 7
+    # region 8 (= num_regions, OVER budget): uniform class 3 -> pixels must
+    # keep their ORIGINAL labels (here: mixed 3s and 1s stay mixed)
+    pseudo[0, 1, :4] = 3
+    pseudo[0, 1, 4:] = 1
+    regions[0, 1] = 8
+    # region 1000 (far over): same abstain behavior
+    pseudo[0, 2] = 4
+    regions[0, 2] = 1000
+    got = np.asarray(homogenize(jnp.asarray(pseudo), jnp.asarray(regions),
+                                percent=0.5, num_classes=6,
+                                num_regions=num_regions))
+    np.testing.assert_array_equal(got[0, 0], np.full(8, 2))   # in budget
+    np.testing.assert_array_equal(got[0, 1], pseudo[0, 1])    # abstained
+    np.testing.assert_array_equal(got[0, 2], pseudo[0, 2])    # abstained
+    # over-budget ids must not pollute in-budget histograms: region 7's
+    # histogram only sees its own 8 pixels
+    oh = one_hot_ignore(jnp.asarray(pseudo.reshape(1, -1)), 6)
+    hist = np.asarray(region_histogram(
+        oh, jnp.asarray(regions.reshape(1, -1)), num_regions=num_regions))
+    assert hist[0, 7].sum() == 8 and hist[0, 7, 2] == 8
+
+
+def test_regions_from_anns_warns_over_budget():
+    from regda_tpu.models.sam.auto import regions_from_anns
+    import warnings as _w
+    seg = np.zeros((64, 64), bool)
+    seg[:32, :32] = True
+    anns = [dict(area=int(seg.sum()), segmentation=seg)]
+    with _w.catch_warnings():
+        _w.simplefilter('error')  # in-budget: no warning
+        m = regions_from_anns(anns, (64, 64), area_threshold=1)
+    assert m.max() == 1
+    big = [dict(area=0, segmentation=np.zeros((64, 64), bool))] * 1024 + anns
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter('always')
+        m = regions_from_anns(big, (64, 64), area_threshold=1)
+    assert any('MAX_REGIONS' in str(r.message) for r in rec)
+    assert m.max() == 1025  # map itself keeps reference id semantics
+
+
 def test_region_histogram_segment_sum():
     rng = np.random.default_rng(0)
     lbl = rng.integers(-1, 6, size=(2, 100)).astype(np.int32)

@@ -285,6 +285,71 @@ def test_generate_regions_batch_matches_single(tiny_sam):
         np.testing.assert_array_equal(b, s)
 
 
+def test_generate_regions_batch_matches_single_crop_pyramid(tiny_sam):
+    """The pyramid-BATCHED phase 1 (all crop positions of a tile encoded
+    in one batched ViT pass) must reproduce the sequential per-crop path
+    at the reference configuration crop_n_layers=1
+    (local_region_homog.py:37)."""
+    from regda_tpu.models.sam.auto import SamRegionGenerator
+    model, variables = tiny_sam
+    gen = SamRegionGenerator(model, variables, points_per_side=4,
+                             points_per_batch=8, pred_iou_thresh=-1e9,
+                             stability_score_thresh=0.0, crop_n_layers=1,
+                             crop_n_points_downscale_factor=2,
+                             mask_budget=16, compute_dtype=jnp.float32)
+    rng = np.random.RandomState(7)
+    tiles = [rng.randint(0, 255, (64, 64, 3), np.uint8).astype(np.uint8)
+             for _ in range(2)]
+    batched = gen.generate_regions_batch(tiles, area_threshold=4)
+    singles = [gen.generate_regions(t, area_threshold=4) for t in tiles]
+    for b, s in zip(batched, singles):
+        np.testing.assert_array_equal(b, s)
+
+
+def test_exact_stability_matrices_match_stepwise_chain(tiny_sam):
+    """The composed (crop, low) matrices must reproduce upstream
+    postprocess_masks' stepwise chain: low -> img_size bilinear, unpad to
+    (nh, nw), -> (ch, cw) bilinear (all half-pixel)."""
+    from regda_tpu.ops.resize import resize_bilinear_half_pixel
+    from regda_tpu.models.sam.auto import SamAutomaticMaskGenerator
+    model, variables = tiny_sam
+    gen = SamAutomaticMaskGenerator(model, variables,
+                                    stability_on_upscaled=True)
+    low = 32
+    nh, nw, ch, cw = gen.img_size, gen.img_size * 3 // 4, 96, 72
+    m_h, m_w = gen._exact_stability_matrices((nh, nw, ch, cw), low)
+    rng = np.random.RandomState(0)
+    x = rng.randn(low, low).astype(np.float32)
+    xj = jnp.asarray(x)[..., None]
+    step = resize_bilinear_half_pixel(xj[None],
+                                      (gen.img_size, gen.img_size))[0]
+    step = step[:nh, :nw]
+    step = resize_bilinear_half_pixel(step[None], (ch, cw))[0, ..., 0]
+    fused = m_h @ x @ m_w.T
+    np.testing.assert_allclose(fused, np.asarray(step), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_region_generator_exact_stability_runs(tiny_sam):
+    """End-to-end region generation with the upstream-parity stability
+    mode (stability_on_upscaled=True), single and batched, crop pyramid."""
+    from regda_tpu.models.sam.auto import SamRegionGenerator
+    model, variables = tiny_sam
+    gen = SamRegionGenerator(model, variables, points_per_side=4,
+                             points_per_batch=8, pred_iou_thresh=-1e9,
+                             stability_score_thresh=0.0, crop_n_layers=1,
+                             crop_n_points_downscale_factor=2,
+                             mask_budget=16, compute_dtype=jnp.float32,
+                             stability_on_upscaled=True)
+    rng = np.random.RandomState(11)
+    tiles = [rng.randint(0, 255, (64, 64, 3), np.uint8).astype(np.uint8)
+             for _ in range(2)]
+    batched = gen.generate_regions_batch(tiles, area_threshold=4)
+    singles = [gen.generate_regions(t, area_threshold=4) for t in tiles]
+    for b, s in zip(batched, singles):
+        np.testing.assert_array_equal(b, s)
+
+
 def test_region_generator_budget_exceeds_grid(tiny_sam):
     """mask_budget larger than the candidate count (grid*3) must not crash
     the paint path (id vectors are sized to the actual selection)."""
@@ -569,4 +634,119 @@ def test_sam_kernels_differentiable():
     g2 = jax.grad(fs, argnums=tuple(range(8)))(*args)
     for a, c in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_two_way_transformer_fused2_equals_stock():
+    """The prompt-resident fused two-way kernel path (pallas_twoway.py,
+    interpret mode off-TPU) == the stock dense transformer."""
+    from regda_tpu.models.sam.decoder import MaskDecoder
+    from regda_tpu.models.sam.factored_decoder import (
+        two_way_transformer_dense, two_way_transformer_fused2)
+    dec = MaskDecoder(dtype=jnp.float32)
+    emb = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 256))
+    pe = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 256))
+    sparse = jax.random.normal(jax.random.PRNGKey(3), (5, 2, 256))
+    dense = jax.random.normal(jax.random.PRNGKey(4), (1, 8, 8, 256))
+    variables = dec.init(jax.random.PRNGKey(0), emb, pe, sparse, dense)
+    params = variables['params']['transformer']
+    tokens = jax.random.normal(jax.random.PRNGKey(5), (5, 7, 256))
+    q0, k0 = two_way_transformer_dense(params, emb, pe, tokens)
+    q1, k1 = two_way_transformer_fused2(params, emb, pe, tokens)
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q0),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(k1), np.asarray(k0),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_two_way_fused_kernel_differentiable():
+    """pallas_twoway has a custom VJP: gradients through the fused kernel
+    == gradients of the stock XLA twin."""
+    from regda_tpu.models.sam.pallas_twoway import (
+        NP, two_way_fused, _twoway_stock)
+    rng = np.random.RandomState(0)
+    b, t, c, d = 2, 64, 256, 128
+    f = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32) * 0.3)
+    ktok0, vtok0 = f(b, NP, d), f(b, NP, d)
+    q1, qpe = f(b, NP, c), f(b, NP, c)
+    keys0, pe = f(t, c), f(t, c)
+    qimg0 = f(t, d)
+    maskb = jnp.where(jnp.arange(NP) < 7, 0.0, -1e9)[None].astype(
+        jnp.float32)
+    wk = {'wo0': f(d, c), 'bo0': f(c), 'n40w': f(c), 'n40b': f(c),
+          'wqt': f(c, d), 'bqt': f(d), 'wkt': f(c, d), 'bkt': f(d),
+          'wvt': f(c, d), 'bvt': f(d), 'wot': f(d, c), 'bot': f(c),
+          'n2w': f(c), 'n2b': f(c),
+          'w1': f(c, 512), 'b1': f(512), 'w2': f(512, c), 'b2': f(c),
+          'n3w': f(c), 'n3b': f(c),
+          'wqi': f(c, d), 'bqi': f(d), 'wki': f(c, d), 'bki': f(d),
+          'wvi': f(c, d), 'bvi': f(d), 'woi': f(d, c), 'boi': f(c),
+          'n41w': f(c), 'n41b': f(c),
+          'wqf': f(c, d), 'bqf': f(d), 'wkf': f(c, d), 'bkf': f(d),
+          'wvf': f(c, d), 'bvf': f(d), 'wof': f(d, c), 'bof': f(c),
+          'nfw': f(c), 'nfb': f(c)}
+    ops = (ktok0, vtok0, q1, qpe, keys0, pe, qimg0, maskb, wk)
+
+    # forward parity vs the stock twin
+    k2a, qa = two_way_fused(ops)
+    k2b, qb = _twoway_stock(ops, 8)
+    np.testing.assert_allclose(np.asarray(k2a), np.asarray(k2b),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(qa[:, :7]), np.asarray(qb[:, :7]),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss_fused(ops):
+        k2, q = two_way_fused(ops)
+        return jnp.sum(k2 ** 2) + jnp.sum(q[:, :7] ** 2)
+
+    def loss_stock(ops):
+        k2, q = _twoway_stock(ops, 8)
+        return jnp.sum(k2 ** 2) + jnp.sum(q[:, :7] ** 2)
+
+    g1 = jax.grad(loss_fused)(ops)
+    g2 = jax.grad(loss_stock)(ops)
+    for a, ref in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_ln_project_differentiable():
+    """pallas_keys.ln_project (the REGDA_FUSED_KEYS kernel) has a custom
+    VJP: gradients through the fused forward == gradients of the stock XLA
+    twin, including the shared/prev addends and mixed add_pe projections."""
+    from regda_tpu.models.sam.pallas_keys import (
+        ln_project, _ln_project_stock)
+    rng = np.random.RandomState(3)
+    b, t, dp, c = 2, 64, 32, 48
+    delta = jnp.asarray(rng.randn(b, t, dp).astype(np.float32))
+    wout = jnp.asarray(rng.randn(dp, c).astype(np.float32))
+    bout = jnp.asarray(rng.randn(c).astype(np.float32))
+    lnw = jnp.asarray(rng.randn(c).astype(np.float32))
+    lnb = jnp.asarray(rng.randn(c).astype(np.float32))
+    pe = jnp.asarray(rng.randn(t, c).astype(np.float32))
+    projs = tuple(
+        (jnp.asarray(rng.randn(c, 16).astype(np.float32)),
+         jnp.asarray(rng.randn(16).astype(np.float32))) for _ in range(2))
+    shared = jnp.asarray(rng.randn(t, c).astype(np.float32))
+    prev = jnp.asarray(rng.randn(b, t, c).astype(np.float32))
+    add_pe = (True, False)
+
+    def loss_fused(d, wo, bo, lw, lb, pj, sh, pv):
+        keys, outs = ln_project(d, wo, bo, lw, lb, pe, pj,
+                                shared=sh, prev=pv, add_pe=add_pe)
+        return jnp.sum(keys ** 2) + sum(jnp.sum(o ** 2) for o in outs)
+
+    def loss_stock(d, wo, bo, lw, lb, pj, sh, pv):
+        keys, outs = _ln_project_stock(
+            (d, wo, bo, lw, lb, pe, pj, sh, pv), add_pe, 1e-5)
+        return jnp.sum(keys ** 2) + sum(jnp.sum(o ** 2) for o in outs)
+
+    args = (delta, wout, bout, lnw, lnb, projs, shared, prev)
+    # forward parity too
+    np.testing.assert_allclose(np.asarray(loss_fused(*args)),
+                               np.asarray(loss_stock(*args)), rtol=1e-5)
+    g1 = jax.grad(loss_fused, argnums=tuple(range(8)))(*args)
+    g2 = jax.grad(loss_stock, argnums=tuple(range(8)))(*args)
+    for a, ref in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(ref),
                                    rtol=1e-3, atol=1e-3)
