@@ -740,13 +740,35 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
 
     def _mask_stats_packed_fn(self, key_hw):
         """vmapped stats returning BIT-PACKED masks so a crop pyramid's
-        worth of batched masks stays ~MBs/crop-position on device."""
+        worth of batched masks stays ~MBs/crop-position on device.
+
+        On TPU the whole upscale+threshold+pack+box/area stage runs as the
+        fused Pallas kernel (pallas_stats.py): the XLA lowering
+        materializes (budget, 1024, 1024) f32 intermediates in HBM —
+        ~100 ms/tile at crop_n_layers=1 — while the kernel keeps each
+        mask's full-res block in VMEM."""
         key = ('mask_stats_packed', key_hw)
         if key not in self._jits:
+            import os as _os
             from regda_tpu.ops.resize import resize_bilinear_half_pixel
             nh, nw, ch, cw = key_hw
             size = self.img_size
             weights = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+
+            if (jax.default_backend() == 'tpu'
+                    and not _os.environ.get('REGDA_NO_PALLAS')):
+                from regda_tpu.models.sam.pallas_stats import mask_stats_fused
+                sy, sx = ch / nh, cw / nw
+
+                def stats_one_fused(logits):
+                    packed, boxes_px, areas_px = mask_stats_fused(
+                        logits, size, nh, nw)
+                    boxes = boxes_px * jnp.asarray(
+                        [sx, sy, sx, sy], jnp.float32)[None]
+                    return packed, boxes, areas_px * (sy * sx)
+
+                self._jits[key] = jax.jit(jax.vmap(stats_one_fused))
+                return self._jits[key]
 
             def stats_one(logits):
                 x = resize_bilinear_half_pixel(logits[..., None],

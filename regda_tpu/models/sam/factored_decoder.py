@@ -675,8 +675,13 @@ def mask_decoder_fast(params, image_embeddings, image_pe, sparse_prompt,
     import os as _os
     if factored:
         transformer = two_way_transformer_factored
-    elif fused_upscale and _os.environ.get('REGDA_FUSED_TWOWAY'):
-        # prompt-resident fused two-way kernel (pallas_twoway.py)
+    elif fused_upscale and (
+            _os.environ.get('REGDA_FUSED_TWOWAY')
+            or (jax.default_backend() == 'tpu'
+                and not _os.environ.get('REGDA_NO_TWOWAY'))):
+        # prompt-resident fused two-way kernel (pallas_twoway.py):
+        # 11.43 -> 6.57 ms per 128-prompt chunk on v5e (PERF.md round 2).
+        # Default on TPU; interpret mode stays opt-in (REGDA_FUSED_TWOWAY)
         transformer = two_way_transformer_fused2
     elif fused_upscale and _os.environ.get('REGDA_FUSED_KEYS'):
         # opt-in: the ln_project kernel measured SLOWER end-to-end (3.70 vs

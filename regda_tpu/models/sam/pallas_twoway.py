@@ -90,10 +90,38 @@ def _kernel(ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
             a.astype(dt), b.astype(dt), (((0,), (0,)), ((), ())),
             preferred_element_type=f32)
 
+    # Mosaic-friendly head bookkeeping: columns are laid out j = h*NP + n.
+    # Instead of 3-D reshapes/tiles (unsupported shape casts on TPU), all
+    # group ops are 2-D matmuls with iota-built 0/1 selection matrices:
+    #   sel  (NP, H*NP):  sel[n, j]  = (j % NP == n)   token selector
+    #   selr (H*NP, NP):  sel^T                        token replicator
+    #   gsum (H*NP, H*NP): gsum[i, j] = (i//NP == j//NP)  per-head group sum
+    hnp = h * NP
+    col_j = jax.lax.broadcasted_iota(jnp.int32, (NP, hnp), 1)
+    row_n = jax.lax.broadcasted_iota(jnp.int32, (NP, hnp), 0)
+    sel = (col_j % NP == row_n).astype(f32)
+    colr_j = jax.lax.broadcasted_iota(jnp.int32, (hnp, NP), 0)
+    rown_r = jax.lax.broadcasted_iota(jnp.int32, (hnp, NP), 1)
+    selr = (colr_j % NP == rown_r).astype(f32)
+    gi = jax.lax.broadcasted_iota(jnp.int32, (hnp, hnp), 0)
+    gj = jax.lax.broadcasted_iota(jnp.int32, (hnp, hnp), 1)
+    gsum = (gi // NP == gj // NP).astype(f32)
+    # pad-mask row broadcast per head: mrow[j] = maskb[j % NP]
+    mrow = jnp.dot(mb[None, :], sel, preferred_element_type=f32)  # (1,H*NP)
+
+    def dot32(a, b):
+        return jnp.dot(a.astype(f32), b.astype(f32),
+                       preferred_element_type=f32)
+
     def softmax_groups(logits):
-        # (T, H*NP) -> per-(head, token) softmax over NP with pad mask
-        l3 = logits.reshape(t, h, NP) + mb[None, None, :]
-        return jax.nn.softmax(l3, axis=-1).reshape(t, h * NP)
+        # (T, H*NP): softmax over each head's NP-lane group with pad mask.
+        # A per-ROW max stabilizes every group at once (softmax is
+        # invariant to any per-row constant shift).
+        l = logits + mrow
+        m = jnp.max(l, axis=-1, keepdims=True)
+        ex = jnp.exp(l - m)
+        denom = dot32(ex, gsum)                  # group sums at each lane
+        return ex / jnp.maximum(denom, 1e-30)
 
     def softmax_t(logits):
         # (T, H*NP): softmax over T per column
@@ -102,17 +130,19 @@ def _kernel(ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
         return ex / jnp.sum(ex, axis=0, keepdims=True)
 
     def block_cols(tok):
-        # (NP, D) token matrix -> (D, H*NP) block-diagonal column embed
-        return jnp.tile(tok.T, (1, h)).reshape(
-            tok.shape[1], h * NP) * colmask
+        # (NP, D) token matrix -> (D, H*NP) block-diagonal column embed:
+        # B[c, h*NP+n] = tok[n, c] for c in head h's block, else 0
+        return jax.lax.dot_general(
+            tok.astype(f32), sel, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32) * colmask.astype(f32)
 
     def block_rows(tok):
         # (NP, D) -> (H*NP, D) block-diagonal row embed
-        return jnp.tile(tok, (h, 1)) * rowmask
+        return dot32(selr, tok) * rowmask.astype(f32)
 
     def merge_heads(o_full):
         # (H*NP, D) per-head outputs -> (NP, D) merged (block select + sum)
-        return (o_full * rowmask.astype(f32)).reshape(h, NP, -1).sum(0)
+        return dot32(sel, o_full * rowmask.astype(f32))
 
     # ---------------- layer 0: image-to-token update -> keys1 ----------
     kt0 = ktok0_ref[0]                                  # (NP, D)

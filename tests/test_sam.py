@@ -330,6 +330,35 @@ def test_exact_stability_matrices_match_stepwise_chain(tiny_sam):
                                atol=1e-4)
 
 
+def test_mask_stats_fused_matches_xla_path():
+    """pallas_stats.mask_stats_fused (interpret off-TPU) == the stepwise
+    XLA stats: half-pixel upscale -> threshold -> bit-pack + interior
+    box/area reductions."""
+    from regda_tpu.models.sam.pallas_stats import mask_stats_fused
+    from regda_tpu.ops.resize import resize_bilinear_half_pixel
+    rng = np.random.RandomState(0)
+    m, s, size = 5, 32, 128
+    nh, nw = 128, 96
+    logits = jnp.asarray(rng.randn(m, s, s).astype(np.float32))
+    packed, boxes, areas = mask_stats_fused(logits, size, nh, nw)
+
+    x = resize_bilinear_half_pixel(logits[..., None], (size, size))[..., 0]
+    masks = np.asarray(x) > 0.0
+    # packing
+    want_packed = np.packbits(masks.astype(np.uint8), axis=-1)
+    np.testing.assert_array_equal(np.asarray(packed), want_packed)
+    # interior boxes + areas
+    for i in range(m):
+        mm = masks[i][:nh, :nw]
+        ys, xs = np.nonzero(mm)
+        if ys.size:
+            want_box = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
+        else:
+            want_box = [nw, nh, 0, 0]
+        np.testing.assert_allclose(np.asarray(boxes[i]), want_box)
+        assert float(areas[i]) == float(mm.sum())
+
+
 def test_region_generator_exact_stability_runs(tiny_sam):
     """End-to-end region generation with the upstream-parity stability
     mode (stability_on_upscaled=True), single and batched, crop pyramid."""

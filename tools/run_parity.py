@@ -1,0 +1,170 @@
+"""Accuracy-parity evidence: drive stages 1 -> 2 -> 3 + ablations, write PARITY.md.
+
+The reference's de-facto regression test is its metric loop — every 500
+steps each training loop evaluates and tracks best mIoU
+(/root/reference/tools/train_src.py:151-163, regda/utils/eval.py:14-56).
+Real ISPRS data/weights are not on this box, so this script produces the
+strongest substitute: a scripted multi-stage run on the learnable
+parity_smoke dataset (configs/st/regda/parity_smoke.py — real domain gap,
+label-aligned regions) with the recorded mIoU trajectory and ablations:
+
+    stage1 (source only)            < stage2 (align + refine + LRH)
+    stage2 no-LRH                  <= stage2 with LRH
+    stage2 no-refine no-LRH        <= stage2 full
+    stage3 (self-training)         >= stage2
+
+Each stage runs through the SAME CLI tools as the real recipe
+(runs/regda/run_2vaihingen.sh). One command reproduces the table:
+
+    python tools/run_parity.py            # CPU, ~15-25 min
+    python tools/run_parity.py --tpu      # on the chip
+
+Results land in PARITY.md (and parity_results.json).
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+
+def run_stage(script, extra, tag, env_base, steps):
+    env = dict(env_base)
+    env['REGDA_PARITY_TAG'] = tag
+    env['REGDA_PARITY_STEPS'] = str(steps)
+    cmd = [sys.executable, os.path.join(HERE, script),
+           '--config-path', 'st.regda.parity_smoke'] + extra
+    print('+', ' '.join(cmd), f'[tag={tag!r}]', flush=True)
+    subprocess.run(cmd, check=True, cwd=REPO, env=env)
+
+
+def read_miou(root, tag, stage_dir):
+    path = os.path.join(root, 'log' + tag, stage_dir,
+                        'Vaihingen_state.ckpt.json')
+    with open(path) as f:
+        meta = json.load(f)
+    return float(meta['mIoU_max']), int(meta['iter_max'])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--steps', type=int, default=200)
+    ap.add_argument('--tpu', action='store_true',
+                    help='run on the default (TPU) backend instead of CPU')
+    ap.add_argument('--fresh', action='store_true',
+                    help='wipe the parity workspace first')
+    args = ap.parse_args()
+
+    root = os.environ.get('REGDA_PARITY_ROOT', '/tmp/regda_parity_smoke')
+    if args.fresh and os.path.isdir(root):
+        import shutil
+        shutil.rmtree(root)
+
+    env = dict(os.environ)
+    env['REGDA_PARITY_ROOT'] = root
+    if not args.tpu:
+        env['JAX_PLATFORMS'] = 'cpu'
+        env['XLA_FLAGS'] = (env.get('XLA_FLAGS', '')
+                            + ' --xla_force_host_platform_device_count=1')
+
+    s = args.steps
+    src_log = os.path.join(root, 'log')
+
+    # ---- stage 1: source-supervised --------------------------------------
+    run_stage('train_src.py', ['--align-domain', '1'], '', env, s)
+    run_stage('init_prototypes.py', [
+        '--ckpt-model', f'{src_log}/src/Vaihingen_best.ckpt',
+        '--ckpt-proto', f'{src_log}/src/prototypes_best.ckpt',
+        '--stage', '1'], '', env, s)
+
+    # ---- stage 2 variants (all from the SAME stage-1 checkpoint) ---------
+    s2_common = ['--ckpt-model', f'{src_log}/src/Vaihingen_best.ckpt',
+                 '--ckpt-proto', f'{src_log}/src/prototypes_best.ckpt',
+                 '--align-domain', '1']
+    run_stage('train_align_reg.py', s2_common + [
+        '--refine-label', '1', '--sam-refine', '--percent', '0.5'],
+        '', env, s)
+    run_stage('train_align_reg.py', s2_common + ['--refine-label', '1'],
+              '-nolrh', env, s)
+    run_stage('train_align_reg.py', s2_common + ['--refine-label', '0'],
+              '-norefine', env, s)
+
+    # ---- stage 3 from the full stage-2 -----------------------------------
+    run_stage('init_prototypes.py', [
+        '--ckpt-model', f'{src_log}/align/Vaihingen_best.ckpt',
+        '--ckpt-proto', f'{src_log}/align/prototypes_best.ckpt',
+        '--stage', '2'], '', env, s)
+    run_stage('train_ssl_reg.py', [
+        '--ckpt-model', f'{src_log}/align/Vaihingen_best.ckpt',
+        '--ckpt-proto', f'{src_log}/align/prototypes_best.ckpt',
+        '--gen', '1', '--refine-label', '1', '--sam-refine',
+        '--percent', '0.5'], '', env, s)
+
+    results = {
+        'stage1_source_only': read_miou(root, '', 'src'),
+        'stage2_full': read_miou(root, '', 'align'),
+        'stage2_no_lrh': read_miou(root, '-nolrh', 'align'),
+        'stage2_no_refine': read_miou(root, '-norefine', 'align'),
+        'stage3_ssl': read_miou(root, '', 'ssl'),
+    }
+    with open(os.path.join(REPO, 'parity_results.json'), 'w') as f:
+        json.dump({'steps_per_stage': s, **{k: {'mIoU': v[0], 'iter': v[1]}
+                                            for k, v in results.items()}},
+                  f, indent=2)
+
+    rows = [
+        ('stage 1 (source-only, CORAL)', 'stage1_source_only'),
+        ('stage 2 full (refine + LRH + PCL)', 'stage2_full'),
+        ('stage 2, no LRH (`--sam-refine` off)', 'stage2_no_lrh'),
+        ('stage 2, no refine/LRH (`--refine-label 0`)', 'stage2_no_refine'),
+        ('stage 3 (self-training from stage-2 full)', 'stage3_ssl'),
+    ]
+    lines = [
+        '# PARITY — multi-stage mIoU trajectory (synthetic smoke evidence)',
+        '',
+        'The reference\'s de-facto regression test is its metric loop '
+        '(`tools/train_src.py:151-163`): train, evaluate every interval, '
+        'track best mIoU. No real ISPRS data or pretrained weights exist '
+        'on this machine, so parity evidence is produced on the learnable '
+        '`parity_smoke` dataset (real domain gap via palette drift, '
+        'label-aligned region maps — see '
+        '`configs/st/regda/parity_smoke.py`), driving the SAME stage CLIs '
+        'as the real recipe (`runs/regda/run_2vaihingen.sh`).',
+        '',
+        f'Steps per stage: {s}; model resnet18; 64px tiles; target-domain '
+        'val mIoU (best over the run, the reference\'s tracking metric).',
+        '',
+        '| pipeline stage | best target mIoU | at iter |',
+        '|---|---|---|',
+    ]
+    for label, key in rows:
+        miou, it = results[key]
+        lines.append(f'| {label} | {miou:.4f} | {it} |')
+    s1 = results['stage1_source_only'][0]
+    s2 = results['stage2_full'][0]
+    s2n = results['stage2_no_lrh'][0]
+    s3 = results['stage3_ssl'][0]
+    lines += [
+        '',
+        '## Reading',
+        '',
+        f'- adaptation gain (stage 2 full vs stage 1): '
+        f'**{s2 - s1:+.4f}**',
+        f'- LRH contribution (stage 2 full vs no-LRH): **{s2 - s2n:+.4f}**',
+        f'- self-training gain (stage 3 vs stage 2): **{s3 - s2:+.4f}**',
+        '',
+        'Reproduce: `python tools/run_parity.py` '
+        f'(this table: steps={s}).',
+        '',
+    ]
+    with open(os.path.join(REPO, 'PARITY.md'), 'w') as f:
+        f.write('\n'.join(lines))
+    print('\n'.join(lines))
+
+
+if __name__ == '__main__':
+    main()
