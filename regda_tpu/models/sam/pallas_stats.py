@@ -37,8 +37,15 @@ def _kernel(logit_ref, uh_ref, uwt_ref, packw_ref,
             packed_ref, stats_ref, *, nh: int, nw: int):
     f32 = jnp.float32
     x = logit_ref[0].astype(f32)                              # (S, S)
-    y1 = jnp.dot(uh_ref[...], x, preferred_element_type=f32)  # (SIZE, S)
-    y = jnp.dot(y1, uwt_ref[...], preferred_element_type=f32)  # (SIZE, SIZE)
+    # HIGHEST precision: the result is thresholded at 0, and the XLA twin
+    # (ops/resize.py) computes at 'highest' — default-precision bf16 MXU
+    # passes flip near-zero pixels, making the kernel and XLA region maps
+    # diverge on TPU
+    hi = jax.lax.Precision.HIGHEST
+    y1 = jnp.dot(uh_ref[...], x, preferred_element_type=f32,
+                 precision=hi)                                # (SIZE, S)
+    y = jnp.dot(y1, uwt_ref[...], preferred_element_type=f32,
+                precision=hi)                                 # (SIZE, SIZE)
     size = y.shape[0]
     bits = (y > 0.0).astype(f32)
 

