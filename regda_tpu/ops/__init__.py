@@ -29,4 +29,5 @@ from regda_tpu.ops.align_losses import (class_align_loss, instance_align_loss,
                                         ccr_loss, mse_context_loss)
 from regda_tpu.ops.losses_extra import (GDPState, gdp_loss, examples_cnt,
                                         target_domain_weight)
-from regda_tpu.ops.slic import slic, edge_shrink, superpixel_stats, adjacency
+from regda_tpu.ops.slic import (slic, lsc, edge_shrink, superpixel_stats,
+                                adjacency)

@@ -1,4 +1,4 @@
-"""SLIC superpixels as a jit-compiled JAX kernel.
+"""SLIC and LSC superpixels as jit-compiled JAX kernels.
 
 Functional replacement for the reference's OpenCV/skimage superpixel stack
 (regda/gast/superpixels.py:49-152 `SuperPixelsLSC`/`edge_shrinking`,
@@ -93,6 +93,107 @@ def slic(image: jnp.ndarray, region_size: int = 16,
         cnts = jax.ops.segment_sum(jnp.ones((h * w, 1), feats.dtype), flat,
                                    num_segments=n_sup)
         return jnp.where(cnts > 0, sums / jnp.maximum(cnts, 1.0), centers)
+
+    centers = jax.lax.fori_loop(0, iterations, body, centers0)
+    return assign(centers).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=('region_size', 'ratio', 'iterations'))
+def lsc(image: jnp.ndarray, region_size: int = 16, ratio: float = 0.075,
+        iterations: int = 20) -> jnp.ndarray:
+    """LSC (Linear Spectral Clustering) superpixels for one (H, W, 3) image
+    in [0, 1].
+
+    The algorithm the reference actually runs:
+    `cv2.ximgproc.createSuperpixelLSC(img, region_size=16, ratio=0.075)`
+    (regda/gast/superpixels.py:67, regda/gast/slic/superpixel.py:18-28).
+    LSC [Li & Chen, CVPR'15] is weighted K-means in an explicit 10-D kernel
+    feature space chosen so that the K-means objective matches a normalized
+    cut: each pixel p = (l, a, b, x, y) maps to
+
+        phi(p) = ( Cc cos(t_l),      Cc sin(t_l),
+                   2.55 Cc cos(t_a), 2.55 Cc sin(t_a),
+                   2.55 Cc cos(t_b), 2.55 Cc sin(t_b),
+                   Cs cos(t_x),      Cs sin(t_x),
+                   Cs cos(t_y),      Cs sin(t_y) )
+
+    with every theta in [0, pi/2], pixel weight w(p) = phi(p) . mean(phi)
+    (the normalized-cut degree), normalized feature phi(p)/w(p), and
+    w-weighted center updates. `ratio` = Cs/Cc is OpenCV's compactness knob.
+
+    TPU-first redesign notes (same skeleton as `slic` above): instead of
+    OpenCV's per-seed tau*S search window, each pixel considers the 9
+    clusters of its 3x3 grid neighborhood — a static candidate set, so one
+    iteration is gather -> fused distance argmin -> weighted segment-sum.
+    Spatial thetas are normalized over the full image extent (injective
+    embedding) and Cs is rescaled by (extent / region_size) so the local
+    spatial cost per region step is independent of image size, matching the
+    role OpenCV's seed-relative coordinates play. Label connectivity is NOT
+    enforced here; use `data_prep.superpixels.enforce_connectivity` (the
+    analog of `enforceLabelConnectivity(min_element_size=25)`,
+    slic/superpixel.py:27) on the host afterwards.
+
+    Returns (H, W) int32 labels in [0, (H/S)*(W/S)).
+    """
+    h, w, _ = image.shape
+    s = region_size
+    gh, gw = h // s, w // s
+    n_sup = gh * gw
+    half_pi = jnp.pi / 2
+
+    lab = srgb_to_lab(image)
+    # 8-bit-Lab-style [0, 1] normalization (OpenCV feeds LSC 8-bit Lab):
+    lab01 = jnp.stack([lab[..., 0] / 100.0,
+                       (lab[..., 1] + 128.0) / 255.0,
+                       (lab[..., 2] + 128.0) / 255.0], axis=-1)
+    theta_c = jnp.clip(lab01, 0.0, 1.0) * half_pi
+    cw = jnp.array([1.0, 2.55, 2.55], image.dtype)        # paper's a/b boost
+    color = jnp.concatenate([cw * jnp.cos(theta_c), cw * jnp.sin(theta_c)],
+                            axis=-1)                                  # (H,W,6)
+
+    ys, xs = jnp.mgrid[0:h, 0:w].astype(image.dtype)
+    theta_x = xs * (half_pi / max(w - 1, 1))
+    theta_y = ys * (half_pi / max(h - 1, 1))
+    cs_x = ratio * (w - 1) / s
+    cs_y = ratio * (h - 1) / s
+    spatial = jnp.stack([cs_x * jnp.cos(theta_x), cs_x * jnp.sin(theta_x),
+                         cs_y * jnp.cos(theta_y), cs_y * jnp.sin(theta_y)],
+                        axis=-1)                                      # (H,W,4)
+    phi = jnp.concatenate([color, spatial], axis=-1)                  # (H,W,10)
+
+    sigma = phi.mean(axis=(0, 1))
+    wgt = phi @ sigma                       # > 0: every phi component >= 0
+    phin = phi / wgt[..., None]
+
+    gy = (ys[:, :, None].astype(jnp.int32) // s
+          + jnp.array([-1, -1, -1, 0, 0, 0, 1, 1, 1]))
+    gx = (xs[:, :, None].astype(jnp.int32) // s
+          + jnp.array([-1, 0, 1, -1, 0, 1, -1, 0, 1]))
+    in_grid = ((gy >= 0) & (gy < gh) & (gx >= 0) & (gx < gw))
+    cand = (jnp.clip(gy, 0, gh - 1) * gw + jnp.clip(gx, 0, gw - 1))
+
+    wphi = phi.reshape(gh, s, gw, s, 10).sum(axis=(1, 3))
+    wsum = wgt.reshape(gh, s, gw, s).sum(axis=(1, 3))
+    centers0 = (wphi / wsum[..., None]).reshape(n_sup, 10)
+    # (sum_p w_p * (phi_p / w_p)) / sum_p w_p = sum(phi) / sum(w): the
+    # weighted mean of normalized features needs no per-pixel division.
+
+    def assign(centers):
+        c = centers[cand]                                    # (H, W, 9, 10)
+        d = ((c - phin[:, :, None, :]) ** 2).sum(-1)
+        d = jnp.where(in_grid, d, jnp.inf)
+        k = d.argmin(-1)
+        return jnp.take_along_axis(cand, k[..., None], axis=-1)[..., 0]
+
+    def body(_, centers):
+        labels = assign(centers)
+        flat = labels.reshape(-1)
+        sums = jax.ops.segment_sum(phi.reshape(-1, 10), flat,
+                                   num_segments=n_sup)
+        wsums = jax.ops.segment_sum(wgt.reshape(-1), flat,
+                                    num_segments=n_sup)
+        return jnp.where(wsums[:, None] > 0,
+                         sums / jnp.maximum(wsums, 1e-12)[:, None], centers)
 
     centers = jax.lax.fori_loop(0, iterations, body, centers0)
     return assign(centers).astype(jnp.int32)

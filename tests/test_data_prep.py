@@ -13,9 +13,11 @@ from regda_tpu.data_prep.tiling import (ISPRS_PALETTE_RGB, TilerConfig,
                                         convert_potsdam_scene,
                                         convert_vaihingen_scene,
                                         rgb_label_to_ids, tile_boxes)
-from regda_tpu.data_prep.superpixels import (boundary_vis, get_superpixels,
-                                             lda_slic)
-from regda_tpu.ops.slic import edge_shrink, slic, superpixel_stats, adjacency
+from regda_tpu.data_prep.superpixels import (boundary_vis,
+                                             enforce_connectivity,
+                                             get_superpixels, lda_slic)
+from regda_tpu.ops.slic import (edge_shrink, lsc, slic, superpixel_stats,
+                                adjacency)
 
 
 # ---------------------------------------------------------------------------
@@ -141,6 +143,64 @@ def test_slic_label_count_and_locality():
     gy, gx = np.mgrid[0:64, 0:64] // 16
     ly, lx = labels // 4, labels % 4
     assert (np.abs(ly - gy) <= 1).all() and (np.abs(lx - gx) <= 1).all()
+
+
+def test_lsc_recovers_blocky_segments():
+    # the reference's actual algorithm (cv2.ximgproc LSC, superpixels.py:67)
+    rng = np.random.RandomState(0)
+    base = rng.rand(2, 2, 3).astype(np.float32)
+    img = np.repeat(np.repeat(base, 16, 0), 16, 1)
+    labels = np.asarray(lsc(jnp.asarray(img), region_size=16, iterations=5))
+    assert labels.shape == (32, 32)
+    for i in range(2):
+        for j in range(2):
+            blk = labels[i * 16:(i + 1) * 16, j * 16:(j + 1) * 16]
+            assert len(np.unique(blk)) == 1
+
+
+def test_lsc_locality_and_determinism():
+    rng = np.random.RandomState(4)
+    img = rng.rand(64, 64, 3).astype(np.float32)
+    a = np.asarray(lsc(jnp.asarray(img), region_size=16, iterations=5))
+    b = np.asarray(lsc(jnp.asarray(img), region_size=16, iterations=5))
+    assert (a == b).all()
+    gy, gx = np.mgrid[0:64, 0:64] // 16
+    ly, lx = a // 4, a % 4
+    assert (np.abs(ly - gy) <= 1).all() and (np.abs(lx - gx) <= 1).all()
+
+
+def test_lsc_boundary_adherence():
+    # a color edge offset from the seed grid: LSC must bend labels to it
+    img = np.zeros((32, 32, 3), np.float32)
+    img[:, 11:] = 0.9                       # edge at x=11, grid seam at 16
+    labels = np.asarray(lsc(jnp.asarray(img), region_size=16, iterations=8))
+    left, right = labels[:, :11], labels[:, 11:]
+    assert not (np.isin(left, np.unique(right))).any()
+
+
+def test_enforce_connectivity_splits_and_absorbs():
+    m = np.zeros((20, 20), np.int32)
+    m[2:5, 2:5] = 7
+    m[12:18, 12:18] = 7                     # disconnected same-id blob
+    m[0, 19] = 3                            # 1-pixel component
+    out = enforce_connectivity(m, min_size=4)
+    assert out[3, 3] != out[14, 14]         # split
+    assert out[0, 19] in (out[0, 18], out[1, 19])   # absorbed
+    # every surviving component >= min_size
+    sizes = np.bincount(out.reshape(-1))
+    assert (sizes[sizes > 0] >= 4).all()
+    # dense relabel from 0
+    assert sorted(np.unique(out)) == list(range(out.max() + 1))
+
+
+def test_enforce_connectivity_mutual_small_pair():
+    # two adjacent small components that can only absorb each other: the
+    # 2-cycle must collapse (min id wins) and the merged comp survives
+    m = np.zeros((8, 8), np.int32)
+    m[0, 0:2] = 1
+    m[0, 2:4] = 2
+    out = enforce_connectivity(m, min_size=4)
+    assert out[0, 0] == out[0, 3]
 
 
 def test_edge_shrink_marks_boundaries():
