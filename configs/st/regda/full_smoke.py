@@ -73,7 +73,7 @@ test_dir = dict(image_dir=[f'{_ROOT}/Vaihingen/img_dir/test'],
 (SOURCE_DATA_CONFIG, _TARGET_ID_CONFIG, PSEUDO_DATA_CONFIG,
  EVAL_DATA_CONFIG, TEST_DATA_CONFIG) = data_configs(
     source_dir, target_dir, val_dir, test_dir, _stats, _stats,
-    crop=_HW, batch_size=8, num_workers=0)
+    crop=_HW, batch_size=8, num_workers=2)
 
 MODEL = 'ResNet101'
 IGNORE_LABEL = -1
@@ -101,7 +101,7 @@ TARGET_DATA_CONFIG = dict(
     CV=dict(k=10, i=-1),
     training=True,
     batch_size=8,
-    num_workers=0,
+    num_workers=2,
     label_type='prob',
     read_sup=True,
 )

@@ -62,9 +62,12 @@ class TileDataset:
     def __len__(self):
         return len(self.rgb_paths)
 
-    def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None):
+    def read_raw(self, idx: int) -> dict:
+        """Untransformed sample with compact dtypes (image stays uint8) —
+        the input to both the float host path (__getitem__) and the
+        device-resident cache (datasets/device_data.py)."""
         sample = {'fname': os.path.basename(self.rgb_paths[idx])}
-        sample['image'] = read_image(self.rgb_paths[idx]).astype(np.float32)
+        sample['image'] = read_image(self.rgb_paths[idx])
 
         if self.read_sup:
             sample['sup'] = np.asarray(
@@ -80,6 +83,11 @@ class TileDataset:
                 # probability pseudo-label saved by gener_target_pseudo: (H,W,C)
                 prob = np.load(f'{self.cls_paths[idx]}.npy')
                 sample['cls'] = prob.astype(np.float32)
+        return sample
+
+    def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None):
+        sample = self.read_raw(idx)
+        sample['image'] = sample['image'].astype(np.float32)
 
         if self.transforms is not None:
             sample = self.transforms(sample, rng or np.random.default_rng())

@@ -56,17 +56,21 @@ class DALoader:
         # k folds / fold index i; i = -1 disables, as all shipped configs
         # do). A seeded shuffle partitions the dataset; training loaders
         # take every fold but i, eval loaders take fold i.
-        cv = config.get('CV') or {}
-        self._cv_subset = None
+        self._cv_subset = self.compute_cv_subset(
+            len(self.dataset), config.get('CV'), self.training, seed)
+
+    @staticmethod
+    def compute_cv_subset(n: int, cv: Optional[dict], training: bool,
+                          seed: int) -> Optional[np.ndarray]:
+        cv = cv or {}
         k, i = int(cv.get('k', 10) or 10), int(cv.get('i', -1))
-        if i >= 0:
-            assert i < k, (i, k)
-            order = np.random.default_rng(seed).permutation(
-                len(self.dataset))
-            folds = np.array_split(order, k)
-            self._cv_subset = (np.concatenate(
-                [f for j, f in enumerate(folds) if j != i])
-                if self.training else folds[i])
+        if i < 0:
+            return None
+        assert i < k, (i, k)
+        order = np.random.default_rng(seed).permutation(n)
+        folds = np.array_split(order, k)
+        return (np.concatenate([f for j, f in enumerate(folds) if j != i])
+                if training else folds[i])
 
     def _base_indices(self) -> np.ndarray:
         if self._cv_subset is not None:

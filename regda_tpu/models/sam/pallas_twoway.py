@@ -113,6 +113,23 @@ def _kernel(ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
         return jnp.dot(a.astype(f32), b.astype(f32),
                        preferred_element_type=f32)
 
+    def ln_mxu(x, w, b, eps=EPS):
+        # LayerNorm over C lanes for the hot (T, C) key states. The stock
+        # lane reductions (jnp.mean over 2*128 lanes) cost ~8 VPU passes
+        # each; here both moments are MXU ones-dots (f32 accumulation) and
+        # the VPU only runs the cheap elementwise chain. x is f32.
+        c = x.shape[-1]
+        reps = c // 128
+        ones_mu = jnp.full((c, 128), 1.0 / c, dt)
+        mu = jnp.dot(x.astype(dt), ones_mu, preferred_element_type=f32)
+        mu = jnp.concatenate([mu] * reps, axis=-1)          # (T, C)
+        xc = x - mu
+        xcb = xc.astype(dt)
+        var = jnp.dot(xcb * xcb, ones_mu, preferred_element_type=f32)
+        var = jnp.concatenate([var] * reps, axis=-1)
+        y = xc * jax.lax.rsqrt(var + eps)
+        return y * w.astype(f32) + b.astype(f32)
+
     def softmax_groups(logits):
         # (T, H*NP): softmax over each head's NP-lane group with pad mask.
         # A per-ROW max stabilizes every group at once (softmax is
@@ -152,8 +169,8 @@ def _kernel(ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
     delta0 = dot(attn0, block_rows(vt0))                # (T, D) f32
     x1 = dot(delta0, wo0_ref[...]) + bo0_ref[0][None, :].astype(jnp.float32)
     x1 = x1 + keys0_ref[...].astype(jnp.float32)
-    keys1 = _ln(x1, n40w_ref[0][None, :], n40b_ref[0][None, :]).astype(dt)
-    k1pe = keys1 + pe_ref[...].astype(dt)
+    keys1 = ln_mxu(x1, n40w_ref[0][None, :], n40b_ref[0][None, :]).astype(dt)
+    pe = pe_ref[...]
 
     # ---------------- layer 1: token-to-image (query side) -------------
     q1 = q1_ref[0].astype(f32)                          # (NP, C)
@@ -162,7 +179,10 @@ def _kernel(ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
     qblk = block_cols(qtok.astype(dt))                  # (D, H*NP)
     e1 = dot(wkt_ref[...], qblk)                        # (C, H*NP) f32
     brow = dot(bkt_ref[...], qblk)                      # (1, H*NP)
-    logits_t = (dot(k1pe, e1.astype(dt)) + brow) * scale
+    # pe-add folded into the logits matmul: (keys1+pe) @ e1 becomes two
+    # dots, trading a (T, C) VPU add + buffer for an MXU matmul
+    logits_t = (dot(keys1, e1.astype(dt)) + dot(pe, e1.astype(dt))
+                + brow) * scale
     attn_t = softmax_t(logits_t)                        # (T, H*NP) f32
     u = dot_t(attn_t, keys1)                            # (H*NP, C) f32
     o_full = dot(u, wvt_ref[...])                       # (H*NP, D) f32
@@ -181,12 +201,14 @@ def _kernel(ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
     kblk = block_cols(ktok1.astype(dt))
     f1 = dot(wqi_ref[...], kblk)                        # (C, H*NP)
     browi = dot(bqi_ref[...], kblk)
-    logits_i = (dot(k1pe, f1.astype(dt)) + browi) * scale
+    logits_i = (dot(keys1, f1.astype(dt)) + dot(pe, f1.astype(dt))
+                + browi) * scale
     attn_i = softmax_groups(logits_i)
     delta1 = dot(attn_i, block_rows(vtok1.astype(dt)))
     x2 = dot(delta1, woi_ref[...]) + boi_ref[0][None, :].astype(f32)
     x2 = x2 + keys1.astype(f32)
-    keys2 = _ln(x2, n41w_ref[0][None, :], n41b_ref[0][None, :]).astype(dt)
+    keys2 = ln_mxu(x2, n41w_ref[0][None, :],
+                   n41b_ref[0][None, :]).astype(dt)
     keys2_out_ref[0] = keys2
 
     # ---------------- final token-to-image attention --------------------
@@ -194,8 +216,8 @@ def _kernel(ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
     qblkf = block_cols(qtokf.astype(dt))
     ef = dot(wkf_ref[...], qblkf)
     browf = dot(bkf_ref[...], qblkf)
-    k2pe = keys2 + pe_ref[...].astype(dt)
-    logits_f = (dot(k2pe, ef.astype(dt)) + browf) * scale
+    logits_f = (dot(keys2, ef.astype(dt)) + dot(pe, ef.astype(dt))
+                + browf) * scale
     attn_f = softmax_t(logits_f)
     uf = dot_t(attn_f, keys2)
     of = dot(uf, wvf_ref[...])

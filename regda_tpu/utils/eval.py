@@ -12,7 +12,8 @@ import os
 
 import numpy as np
 
-from regda_tpu.datasets import DALoader, get_meta
+from regda_tpu.datasets import DALoader, get_meta, device_data_enabled
+from regda_tpu.datasets.device_data import get_eval_set
 from regda_tpu.infer import SegInferencer
 from regda_tpu.utils.metrics import PixelMetricIgnore
 from regda_tpu.utils.viz import VisualizeSegmm
@@ -41,7 +42,18 @@ def evaluate(model, variables, cfg, is_training: bool = False,
         viz_op = VisualizeSegmm(vis_dir, meta.palette)
 
     data_cfg = cfg.TEST_DATA_CONFIG if test else cfg.EVAL_DATA_CONFIG
-    loader = DALoader(data_cfg, cfg.DATASETS)
+    # On TPU the val split lives on device as uint8 and is normalized
+    # on-chip (uploaded once per process, not once per eval — see
+    # datasets/device_data.py on the tunneled-transfer cost/leak).
+    if device_data_enabled(data_cfg):
+        try:
+            loader = get_eval_set(data_cfg, cfg.DATASETS)
+        except (ValueError, AssertionError) as e:
+            if logger:
+                logger.warning(f'device eval cache disabled ({e})')
+            loader = DALoader(data_cfg, cfg.DATASETS)
+    else:
+        loader = DALoader(data_cfg, cfg.DATASETS)
 
     if inferencer is None:
         inferencer = SegInferencer(model, variables, meta.num_classes)

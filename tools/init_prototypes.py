@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from regda_tpu.datasets import DALoader, get_meta
+from regda_tpu.datasets import get_meta, make_loader
 from regda_tpu.models import build_deeplabv2
 from regda_tpu.ops.prototypes import prototype_finalize
 from regda_tpu.train.steps import make_proto_accum_step
@@ -51,7 +51,7 @@ def main():
     data_sum = jnp.zeros((meta.num_classes, feat_dim))
     data_cnt = jnp.zeros((meta.num_classes, 1))
 
-    sourceloader = DALoader(cfg.SOURCE_DATA_CONFIG, cfg.DATASETS)
+    sourceloader = make_loader(cfg.SOURCE_DATA_CONFIG, cfg.DATASETS)
     for batch in sourceloader:
         data_sum, data_cnt = accum(variables, data_sum, data_cnt,
                                    jnp.asarray(batch['image']),

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from regda_tpu.datasets import DALoader, InfiniteIterator, get_meta
+from regda_tpu.datasets import InfiniteIterator, get_meta, make_loader
 from regda_tpu.models import build_deeplabv2
 from regda_tpu.train import create_train_state, make_optimizer
 from regda_tpu.train.loop import Trainer
@@ -85,14 +85,16 @@ def main():
     trainer = Trainer(model, cfg, logger, state, step_fn)
     start_iter = trainer.try_resume() if args.auto_resume else 0
 
-    sourceloader = DALoader(cfg.SOURCE_DATA_CONFIG, cfg.DATASETS)
+    sourceloader = make_loader(cfg.SOURCE_DATA_CONFIG, cfg.DATASETS,
+                               logger=logger)
     # stage 2 target loader: same id-label target dirs as stage 1 but with
     # SAM region maps (sup) attached (train_align_reg.py:161-163)
     target_config = dict(cfg.TARGET_DATA_CONFIG)
     target_config['label_type'] = 'id'
     target_config['mask_dir'] = None
     target_config['read_sup'] = True
-    targetloader = DALoader(target_config, cfg.DATASETS)
+    targetloader = make_loader(target_config, cfg.DATASETS,
+                               logger=logger)
     source_iter = InfiniteIterator(sourceloader)
     target_iter = InfiniteIterator(targetloader)
     logger.info(f'batch num: source={len(sourceloader)}, '

@@ -13,7 +13,7 @@ import argparse
 import jax
 import numpy as np
 
-from regda_tpu.datasets import DALoader, InfiniteIterator, get_meta
+from regda_tpu.datasets import InfiniteIterator, get_meta, make_loader
 from regda_tpu.models import build_deeplabv2
 from regda_tpu.train import create_train_state, make_optimizer
 from regda_tpu.train.loop import Trainer
@@ -76,8 +76,10 @@ def main():
     trainer = Trainer(model, cfg, logger, state, step_fn)
     start_iter = trainer.try_resume() if args.auto_resume else 0
 
-    sourceloader = DALoader(cfg.SOURCE_DATA_CONFIG, cfg.DATASETS)
-    targetloader = DALoader(cfg.TARGET_DATA_CONFIG, cfg.DATASETS)
+    sourceloader = make_loader(cfg.SOURCE_DATA_CONFIG, cfg.DATASETS,
+                               logger=logger)
+    targetloader = make_loader(cfg.TARGET_DATA_CONFIG, cfg.DATASETS,
+                               logger=logger)
     source_iter = InfiniteIterator(sourceloader)
     target_iter = InfiniteIterator(targetloader)
     logger.info(f'batch num: source={len(sourceloader)}, '

@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from regda_tpu.datasets import DALoader, InfiniteIterator, get_meta
+from regda_tpu.datasets import (DALoader, InfiniteIterator, get_meta,
+                                make_loader)
 from regda_tpu.infer import SegInferencer
 from regda_tpu.models import build_deeplabv2
 from regda_tpu.pseudo import gener_target_pseudo
@@ -109,10 +110,12 @@ def main():
     target_config = dict(cfg.TARGET_DATA_CONFIG)
     target_config['mask_dir'] = [save_pseudo_label_path]
     logger.info(str(target_config))
-    targetloader = DALoader(target_config, cfg.DATASETS)
+    targetloader = make_loader(target_config, cfg.DATASETS,
+                                logger=logger)
     logger.info('###### Start model retraining! ######')
 
-    sourceloader = DALoader(cfg.SOURCE_DATA_CONFIG, cfg.DATASETS)
+    sourceloader = make_loader(cfg.SOURCE_DATA_CONFIG, cfg.DATASETS,
+                                logger=logger)
     source_iter = InfiniteIterator(sourceloader)
     target_iter = InfiniteIterator(targetloader)
     logger.info(f'batch num: source={len(sourceloader)}, '
