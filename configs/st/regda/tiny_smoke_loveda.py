@@ -91,3 +91,7 @@ TARGET_DATA_CONFIG = dict(
     label_type='prob',
     read_sup=True,
 )
+
+# pseudo-label maps must match the synthetic tile size (the reference
+# default, the dataset meta SIZE, only equals the tile size on real data)
+PSEUDO_SIZE = (_HW, _HW)

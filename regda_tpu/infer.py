@@ -38,7 +38,8 @@ class SegInferencer:
         self._cache: dict = {}
         self.update_variables(variables)
 
-    def _make_fn(self, shape, slide: bool, tta: bool):
+    def _make_fn(self, shape, slide: bool, tta: bool,
+                 labels: bool = False):
         def apply_probs(variables, x):
             if self.compute_dtype is not None:
                 x = x.astype(self.compute_dtype)
@@ -47,12 +48,17 @@ class SegInferencer:
 
         def fn(variables, image):
             if slide:
-                return slide_inference(
+                out = slide_inference(
                     lambda t: apply_probs(variables, t), image,
                     self.num_classes, self.tile, self.stride, tta)
-            if tta:
-                return tta_apply(lambda t: apply_probs(variables, t), image)
-            return apply_probs(variables, image)
+            elif tta:
+                out = tta_apply(lambda t: apply_probs(variables, t), image)
+            else:
+                out = apply_probs(variables, image)
+            # argmax on device: evaluation only needs the class map, so
+            # ship H*W uint8 instead of H*W*C float probs over the (slow,
+            # leak-prone for h2d) host link
+            return jnp.argmax(out, -1).astype(jnp.uint8) if labels else out
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -69,6 +75,18 @@ class SegInferencer:
             self._cache[key] = self._make_fn(images.shape, slide, tta)
         return np.asarray(self._cache[key](self.variables,
                                            jnp.asarray(images)))
+
+    def predict_labels(self, images, slide: bool = True,
+                       tta: bool = False) -> np.ndarray:
+        """images: (B, H, W, 3) normalized float32 -> (B, H, W) int32 class
+        map, argmaxed on device (same probs as predict_probs)."""
+        key = (images.shape, slide, tta, 'labels')
+        if key not in self._cache:
+            self._cache[key] = self._make_fn(images.shape, slide, tta,
+                                             labels=True)
+        return np.asarray(self._cache[key](self.variables,
+                                           jnp.asarray(images))
+                          ).astype(np.int32)
 
     def update_variables(self, variables):
         if self.mesh is not None and variables is not None:

@@ -71,7 +71,7 @@ def _kernel(ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
             wqf_ref, bqf_ref, wkf_ref, bkf_ref, wvf_ref, bvf_ref,
             wof_ref, bof_ref, nfw_ref, nfb_ref,
             keys2_out_ref, qout_ref,
-            *, num_heads: int, head_dim: int):
+            *, num_heads: int, head_dim: int, ln_dt: bool = False):
     f32 = jnp.float32
     dt = keys0_ref.dtype
     h, hd = num_heads, head_dim
@@ -123,6 +123,16 @@ def _kernel(ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
         ones_mu = jnp.full((c, 128), 1.0 / c, dt)
         mu = jnp.dot(x.astype(dt), ones_mu, preferred_element_type=f32)
         mu = jnp.concatenate([mu] * reps, axis=-1)          # (T, C)
+        if ln_dt:
+            # dt-elementwise variant (REGDA_TWOWAY_LN_DT=1): moments keep
+            # f32 MXU accumulation, the wide centered/normalize chain runs
+            # in bf16 — ~1 ulp bf16 extra error on an output that is cast
+            # to bf16 anyway; halves VPU/VMEM width of the hot passes.
+            xc = (x.astype(dt) - mu.astype(dt))
+            var = jnp.dot(xc * xc, ones_mu, preferred_element_type=f32)
+            var = jnp.concatenate([var] * reps, axis=-1)
+            r = jax.lax.rsqrt(var + eps)
+            return (xc * r.astype(dt)) * w.astype(dt) + b.astype(dt)
         xc = x - mu
         xcb = xc.astype(dt)
         var = jnp.dot(xcb * xcb, ones_mu, preferred_element_type=f32)
@@ -166,9 +176,14 @@ def _kernel(ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
     vt0 = vtok0_ref[0]
     logits0 = dot(qimg0_ref[...], block_cols(kt0)) * scale
     attn0 = softmax_groups(logits0)
-    delta0 = dot(attn0, block_rows(vt0))                # (T, D) f32
-    x1 = dot(delta0, wo0_ref[...]) + bo0_ref[0][None, :].astype(jnp.float32)
-    x1 = x1 + keys0_ref[...].astype(jnp.float32)
+    # out-projection + bias folded into the TINY value rows:
+    #   (attn @ Vrows) @ Wo + bo == attn @ (Vrows @ Wo + bo/H)
+    # (each of the H head groups' attention rows sums to 1, so the H*NP
+    # lanes sum to H) — skips a (T, D) x (D, D) matmul and the (T, D)
+    # intermediate + bias passes per prompt.
+    vrow0 = (dot32(block_rows(vt0), wo0_ref[...])
+             + bo0_ref[0][None, :].astype(f32) * (1.0 / h))
+    x1 = dot(attn0, vrow0) + keys0_ref[...].astype(jnp.float32)
     keys1 = ln_mxu(x1, n40w_ref[0][None, :], n40b_ref[0][None, :]).astype(dt)
     pe = pe_ref[...]
 
@@ -204,9 +219,10 @@ def _kernel(ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
     logits_i = (dot(keys1, f1.astype(dt)) + dot(pe, f1.astype(dt))
                 + browi) * scale
     attn_i = softmax_groups(logits_i)
-    delta1 = dot(attn_i, block_rows(vtok1.astype(dt)))
-    x2 = dot(delta1, woi_ref[...]) + boi_ref[0][None, :].astype(f32)
-    x2 = x2 + keys1.astype(f32)
+    # same out-projection/bias fold as layer 0
+    vrow1 = (dot32(block_rows(vtok1.astype(dt)), woi_ref[...])
+             + boi_ref[0][None, :].astype(f32) * (1.0 / h))
+    x2 = dot(attn_i, vrow1) + keys1.astype(f32)
     keys2 = ln_mxu(x2, n41w_ref[0][None, :],
                    n41b_ref[0][None, :]).astype(dt)
     keys2_out_ref[0] = keys2
@@ -381,8 +397,11 @@ def _twoway_fwd_impl(operands, num_heads: int = 8,
                  pl.BlockSpec((1, NP, c), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)]
 
+    import os
+    ln_dt = os.environ.get('REGDA_TWOWAY_LN_DT', '0') == '1'
     keys2, qout = pl.pallas_call(
-        functools.partial(_kernel, num_heads=num_heads, head_dim=hd),
+        functools.partial(_kernel, num_heads=num_heads, head_dim=hd,
+                          ln_dt=ln_dt),
         out_shape=out_shapes,
         grid=(b,),
         in_specs=in_specs,

@@ -53,6 +53,29 @@ class Trainer:
         self.inferencer = SegInferencer(model, None, self.meta.num_classes)
         self.mIoU_max = 0.0
         self.iter_max = 0
+        # Bounded async pipeline: with device-resident data the host side of
+        # a step is ~instant, so without backpressure the dispatch queue
+        # (and the HBM batches it pins) grows until the next host sync.
+        # Reading one 4-byte metric from step i-K keeps K steps in flight —
+        # enough to hide the tunnel's per-dispatch RPC latency, bounded
+        # enough that queued sampler outputs can't accumulate in HBM.
+        self._depth = int(os.environ.get('REGDA_PIPELINE_DEPTH', 8))
+        self._inflight: list = []
+        # async checkpoint saver: the full-TrainState download is ~35 s over
+        # this box's tunneled d2h link (627 MB at ~18 MB/s for ResNet-101),
+        # so the post-eval checkpoint chain runs in a background thread and
+        # overlaps the next EVAL_EVERY training steps (FULLRUN.md run 3
+        # measured ~68 s eval pauses, roughly half of it this download).
+        # Disable with REGDA_SYNC_CKPT=1.
+        self._saver = None
+        self._async_ckpt = os.environ.get('REGDA_SYNC_CKPT', '0') != '1'
+        # deep on-device copy for the saver thread: the train step DONATES
+        # the state buffers, so the thread must snapshot them (HBM-to-HBM,
+        # ~1 ms) before training continues — a plain reference would be
+        # reading deleted buffers.
+        import jax.numpy as jnp
+        self._dev_copy = jax.jit(
+            lambda s: jax.tree.map(jnp.copy, s))
 
     def _close_trace(self):
         if self._trace_ctx is not None:
@@ -81,6 +104,12 @@ class Trainer:
         b = self.put_batch(**arrays)
         self.state, metrics = self.step_fn(self.state,
                                            *(b[k] for k in arrays))
+        if self._depth > 0:
+            self._inflight.append(next(iter(metrics.values())))
+            if len(self._inflight) > self._depth:
+                # host read (not block_until_ready: the tunneled backend
+                # returns from that before execution finishes)
+                np.asarray(self._inflight.pop(0))
         self.timer.stop()
         return metrics
 
@@ -98,13 +127,17 @@ class Trainer:
         return os.path.join(self.cfg.SNAPSHOT_DIR,
                             self.cfg.TARGET_SET + '_state.ckpt')
 
-    def save_state(self):
+    def save_state(self, host_state=None):
         """Persist the FULL TrainState (params, opt state, prototypes,
         class-freq EMAs, GHM histograms, RNG) so a crashed run resumes
         exactly — the reference can only restart from manually passed
-        weight files (SURVEY.md section 5: no failure recovery)."""
+        weight files (SURVEY.md section 5: no failure recovery).
+        host_state: an already-downloaded copy of self.state, to avoid a
+        second full device->host transfer."""
         import json
-        save_pytree(self._state_path, jax.device_get(self.state))
+        save_pytree(self._state_path,
+                    host_state if host_state is not None
+                    else jax.device_get(self.state))
         # atomic sidecar write: a crash mid-write must not leave a truncated
         # JSON that breaks --auto-resume (or silently resets mIoU_max)
         tmp = self._state_path + '.json.tmp'
@@ -119,8 +152,8 @@ class Trainer:
         import json
         if not os.path.isdir(self._state_path):
             return 0
-        restored = load_pytree_as(self._state_path,
-                                  jax.device_get(self.state))
+        # self.state is passed as a shape/dtype template only — no download
+        restored = load_pytree_as(self._state_path, self.state)
         self.state = (jax.device_put(restored,
                                      replicated_sharding(self.mesh))
                       if self.mesh is not None else jax.device_put(restored))
@@ -148,34 +181,64 @@ class Trainer:
                or (eval_at_zero and i_iter == 0))
         if not due:
             return None
-        variables = jax.device_get(
-            {'params': self.state.params,
-             'batch_stats': self.state.batch_stats})
+        self.join_saver()          # at most one checkpoint chain in flight
+        # eval inference runs straight off the DEVICE-resident params
+        # (device_put of an on-device pytree is a no-op); the host-side
+        # chain — ONE full-state download serving the _curr ckpt, the
+        # _best copy and save_state — runs in a background thread,
+        # overlapped with the next EVAL_EVERY training steps.
+        dev_variables = {'params': self.state.params,
+                         'batch_stats': self.state.batch_stats}
         ckpt_path = os.path.join(self.cfg.SNAPSHOT_DIR,
                                  self.cfg.TARGET_SET + '_curr.ckpt')
-        save_pytree(ckpt_path, variables)
-        _, mIoU_curr = evaluate(self.model, variables, self.cfg,
+        _, mIoU_curr = evaluate(self.model, dev_variables, self.cfg,
                                 is_training=True, ckpt_path=ckpt_path,
                                 logger=self.logger,
                                 inferencer=self.inferencer)
-        if self.mIoU_max <= mIoU_curr:
+        improved = self.mIoU_max <= mIoU_curr
+        if improved:
             self.mIoU_max = mIoU_curr
             self.iter_max = i_iter + 1
-            best_path = os.path.join(self.cfg.SNAPSHOT_DIR,
-                                     self.cfg.TARGET_SET + '_best.ckpt')
-            save_pytree(best_path, variables)
-            best_vis = os.path.join(self.cfg.SNAPSHOT_DIR,
-                                    f'vis-{self.cfg.TARGET_SET}_best')
-            curr_vis = os.path.join(self.cfg.SNAPSHOT_DIR,
-                                    f'vis-{os.path.basename(ckpt_path)}')
-            if os.path.isdir(best_vis):
-                shutil.rmtree(best_vis)
-            if os.path.isdir(curr_vis):
-                shutil.copytree(curr_vis, best_vis)
         self.logger.info(
             f'Best model in iter={self.iter_max}, best_mIoU={self.mIoU_max}.')
-        self.save_state()
+
+        state_snap = (self._dev_copy(self.state) if self._async_ckpt
+                      else self.state)
+
+        def _save_chain():
+            host_state = jax.device_get(state_snap)
+            variables = {'params': host_state.params,
+                         'batch_stats': host_state.batch_stats}
+            save_pytree(ckpt_path, variables)
+            if improved:
+                best_path = os.path.join(self.cfg.SNAPSHOT_DIR,
+                                         self.cfg.TARGET_SET + '_best.ckpt')
+                save_pytree(best_path, variables)
+                best_vis = os.path.join(self.cfg.SNAPSHOT_DIR,
+                                        f'vis-{self.cfg.TARGET_SET}_best')
+                curr_vis = os.path.join(self.cfg.SNAPSHOT_DIR,
+                                        f'vis-{os.path.basename(ckpt_path)}')
+                if os.path.isdir(best_vis):
+                    shutil.rmtree(best_vis)
+                if os.path.isdir(curr_vis):
+                    shutil.copytree(curr_vis, best_vis)
+            self.save_state(host_state)
+
+        if self._async_ckpt:
+            import threading
+            self._saver = threading.Thread(target=_save_chain,
+                                           name='ckpt-saver')
+            self._saver.start()
+        else:
+            _save_chain()
         return mIoU_curr
+
+    def join_saver(self):
+        """Block until the in-flight async checkpoint chain (if any) has
+        fully written _curr/_best/_state to disk."""
+        if self._saver is not None:
+            self._saver.join()
+            self._saver = None
 
     @property
     def variables(self):

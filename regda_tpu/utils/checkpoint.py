@@ -47,7 +47,18 @@ def load_pytree_as(path: str, target: Any) -> Any:
     there loses everything since the last manual checkpoint flag."""
     path = _abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    template = jax.tree.map(np.asarray, target)
+
+    # shape/dtype-only template: StandardRestore never reads the template's
+    # VALUES, so materializing them would be pure waste — in particular,
+    # passing a device-resident TrainState here must not trigger a full
+    # device->host download (627 MB for the ResNet-101 state, minutes over
+    # this box's tunneled link)
+    def _template(x):
+        if hasattr(x, 'shape') and hasattr(x, 'dtype'):
+            return np.empty(x.shape, np.dtype(x.dtype))
+        return x
+
+    template = jax.tree.map(_template, target)
     try:
         return ckptr.restore(path, template)
     except TypeError:

@@ -64,8 +64,7 @@ def evaluate(model, variables, cfg, is_training: bool = False,
                                logdir=cfg.SNAPSHOT_DIR, logger=logger,
                                ignore_labels=ignore_labels)
     for batch in loader:
-        probs = inferencer.predict_probs(batch['image'], slide=slide, tta=tta)
-        cls = probs.argmax(axis=-1).astype(np.int32)
+        cls = inferencer.predict_labels(batch['image'], slide=slide, tta=tta)
         gt = batch['cls'].astype(np.int32)
         mask = gt >= 0
         metric.forward(gt[mask].ravel(), cls[mask].ravel())

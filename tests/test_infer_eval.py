@@ -249,3 +249,26 @@ def test_sharded_inferencer_matches_single_device():
     sharded = SegInferencer(model, variables, 6, mesh=mesh).predict_probs(
         images, slide=False)
     np.testing.assert_allclose(sharded, single, atol=2e-5)
+
+
+def test_predict_labels_is_device_argmax_of_probs():
+    """predict_labels (the eval fast path: argmax on device, 1 byte/px
+    shipped instead of C floats) must equal argmax(predict_probs) in every
+    slide/tta combination."""
+    import numpy as np
+    from regda_tpu.models import build_deeplabv2
+    from regda_tpu.infer import SegInferencer
+
+    model = build_deeplabv2('resnet18', num_classes=6)
+    variables = model.init({'params': jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    inf = SegInferencer(model, variables, 6, tile=32, stride=16)
+    images = np.random.default_rng(3).normal(
+        size=(2, 64, 64, 3)).astype(np.float32)
+    for slide in (False, True):
+        for tta in (False, True):
+            probs = inf.predict_probs(images, slide=slide, tta=tta)
+            labels = inf.predict_labels(images, slide=slide, tta=tta)
+            assert labels.dtype == np.int32 and labels.shape == (2, 64, 64)
+            np.testing.assert_array_equal(labels,
+                                          probs.argmax(-1).astype(np.int32))

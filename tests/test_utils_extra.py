@@ -171,3 +171,9 @@ def test_train_state_checkpoint_roundtrip(tmp_path):
                                np.asarray(state.prototypes))
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b)), jax.device_get(state), restored)
+    # the template is shape/dtype-only: a DEVICE-resident pytree must work
+    # (auto-resume passes self.state directly; materializing it d2h stalled
+    # the ResNet-101 resume 18+ min over the tunneled link — FULLRUN.md)
+    restored2 = load_pytree_as(path, state)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b)), restored, restored2)

@@ -1,0 +1,165 @@
+"""Per-phase microbenchmark for the SAM everything-mode pipeline on TPU.
+
+Times each device phase of the crop_n_layers=1 region-generation budget in
+isolation (PERF.md breaks the ~400 ms/tile budget into 5x encode, 16x
+128-prompt decode chunks, fused stats, paints): ViT-B encode per 1024-crop,
+prompt-resident two-way kernel per 128-prompt chunk, fused mask-head per
+chunk, fused mask-stats per 256-mask budget. Use for quick A/B of kernel
+changes (e.g. REGDA_TWOWAY_LN_DT=1) without driving the full generator.
+
+Timing note: on this box's tunneled backend block_until_ready returns
+before execution finishes, so each phase is timed as a CHAIN of iters
+data-dependent calls (a scalar from call i feeds call i+1) with one host
+read at the end — device time serializes, dispatch RPC overlaps.
+
+Usage: python tools/bench_sam_phases.py [--iters 20] [--prompts 128]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def chain_time(fn, x0, iters):
+    """fn: (x, eps_scalar) -> (out, scalar). Chains via the scalar."""
+    import jax.numpy as jnp
+    s = jnp.zeros((), jnp.float32)
+    out, s = fn(x0, s)                    # warm compile
+    np.asarray(s)
+    t0 = time.perf_counter()
+    s = jnp.zeros((), jnp.float32)
+    for _ in range(iters):
+        out, s = fn(x0, s)
+    np.asarray(s)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--iters', type=int, default=20)
+    ap.add_argument('--prompts', type=int, default=128)
+    ap.add_argument('--crops', type=int, default=5)
+    ap.add_argument('--skip-encode', action='store_true')
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), '.jax_cache')
+    try:
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+    except Exception:
+        pass
+
+    dt = jnp.bfloat16
+    key = jax.random.PRNGKey(0)
+    results = {}
+
+    # ---------------- ViT-B encode, batch = crop pyramid ------------------
+    if not args.skip_encode:
+        from regda_tpu.models.sam.vit import ImageEncoderViT, VIT_CONFIGS
+        enc = ImageEncoderViT(**VIT_CONFIGS['vit_b'], dtype=dt)
+        x = jax.random.normal(key, (args.crops, 1024, 1024, 3), dt)
+        ev = enc.init({'params': key}, x[:1])
+
+        @jax.jit
+        def enc_fn(x, s):
+            out = enc.apply(ev, x + s.astype(dt))
+            return out, jnp.float32(jnp.sum(out[0, 0, 0, :2]))
+
+        per = chain_time(enc_fn, x, max(2, args.iters // 4))
+        results['encode_ms_per_crop'] = per * 1000 / args.crops
+        print(f'encode: {per*1000:.2f} ms / {args.crops}-crop batch '
+              f'({per*1000/args.crops:.2f} ms/crop)')
+
+    # ---------------- prompt-resident two-way kernel ----------------------
+    from regda_tpu.models.sam.pallas_twoway import NP, two_way_fused
+    B, T, C, D = args.prompts, 4096, 256, 128
+    ks = jax.random.split(key, 50)
+    mk = lambda i, *s: (jax.random.normal(ks[i], s, jnp.float32) * 0.1)
+    weights = {}
+    spec = {'wo0': (D, C), 'bo0': (C,), 'n40w': (C,), 'n40b': (C,),
+            'wqt': (C, D), 'bqt': (D,), 'wkt': (C, D), 'bkt': (D,),
+            'wvt': (C, D), 'bvt': (D,), 'wot': (D, C), 'bot': (C,),
+            'n2w': (C,), 'n2b': (C,),
+            'w1': (C, 2048), 'b1': (2048,), 'w2': (2048, C), 'b2': (C,),
+            'n3w': (C,), 'n3b': (C,),
+            'wqi': (C, D), 'bqi': (D,), 'wki': (C, D), 'bki': (D,),
+            'wvi': (C, D), 'bvi': (D,), 'woi': (D, C), 'boi': (C,),
+            'n41w': (C,), 'n41b': (C,),
+            'wqf': (C, D), 'bqf': (D,), 'wkf': (C, D), 'bkf': (D,),
+            'wvf': (C, D), 'bvf': (D,), 'wof': (D, C), 'bof': (C,),
+            'nfw': (C,), 'nfb': (C,)}
+    for i, (k2, s) in enumerate(spec.items()):
+        weights[k2] = mk(i, *s) + (1.0 if k2 in ('n40w', 'n2w', 'n3w',
+                                                 'n41w', 'nfw') else 0.0)
+    ktok0 = jax.random.normal(ks[40], (B, NP, D), dt)
+    vtok0 = jax.random.normal(ks[41], (B, NP, D), dt)
+    q1 = jax.random.normal(ks[42], (B, NP, C), dt)
+    qpe = jax.random.normal(ks[43], (B, NP, C), dt)
+    keys0 = jax.random.normal(ks[44], (T, C), dt)
+    pe = jax.random.normal(ks[45], (T, C), dt)
+    qimg0 = jax.random.normal(ks[46], (T, D), dt)
+    maskb = jnp.where(jnp.arange(NP) < 7, 0.0, -1e9)[None].astype(
+        jnp.float32)
+
+    @jax.jit
+    def tw_fn(keys0, s):
+        k2o, qo = two_way_fused((ktok0, vtok0, q1, qpe,
+                                 keys0 + s.astype(dt), pe, qimg0,
+                                 maskb, weights))
+        return k2o, jnp.float32(jnp.sum(qo[0, 0, :2]))
+
+    per = chain_time(lambda x, s: tw_fn(x, s), keys0, args.iters)
+    results['twoway_ms_per_chunk'] = per * 1000
+    print(f'two-way kernel: {per*1000:.2f} ms / {B}-prompt chunk '
+          f'(ln_dt={os.environ.get("REGDA_TWOWAY_LN_DT", "0")})')
+
+    # ---------------- fused mask head (upscale + hyper) -------------------
+    from regda_tpu.models.sam.pallas_upscale import upscale_hyper_masks
+    c4, c8, M = C // 4, C // 8, 4
+    src = jax.random.normal(ks[47], (B, 64, 64, C), dt)
+    hyper = jax.random.normal(ks[48], (B, M, c8), dt)
+    k1 = jax.random.normal(ks[10], (C, 4 * c4), dt) * 0.1
+    b1 = jnp.zeros((1, 4 * c4), jnp.float32)
+    lnw = jnp.ones((1, c4), jnp.float32)
+    lnb = jnp.zeros((1, c4), jnp.float32)
+    k2 = jax.random.normal(ks[11], (c4, 4 * c8), dt) * 0.1
+    b2 = jnp.zeros((1, 4 * c8), jnp.float32)
+
+    @jax.jit
+    def mh_fn(src, s):
+        masks = upscale_hyper_masks(src + s.astype(dt), hyper, k1, b1,
+                                    lnw, lnb, k2, b2, out_dtype=dt)
+        return masks, jnp.float32(jnp.sum(masks[0, 0, 0, :2]))
+
+    per = chain_time(mh_fn, src, args.iters)
+    results['mask_head_ms_per_chunk'] = per * 1000
+    print(f'mask head: {per*1000:.2f} ms / {B}-prompt chunk')
+
+    # ---------------- fused mask stats ------------------------------------
+    from regda_tpu.models.sam.pallas_stats import mask_stats_fused
+    logits = jax.random.normal(ks[49], (256, 256, 256), dt) * 4
+
+    @jax.jit
+    def st_fn(logits, s):
+        packed, boxes, areas = mask_stats_fused(
+            logits + s.astype(logits.dtype), 1024, 1024, 1024)
+        return packed, jnp.float32(jnp.sum(boxes[0]) + jnp.sum(areas[:2]))
+
+    per = chain_time(st_fn, logits, max(2, args.iters // 2))
+    results['stats_ms_per_256masks'] = per * 1000
+    print(f'mask stats: {per*1000:.2f} ms / 256-mask budget')
+
+    print(json.dumps(results))
+
+
+if __name__ == '__main__':
+    main()

@@ -57,6 +57,9 @@ def main():
                     help='run on the default (TPU) backend instead of CPU')
     ap.add_argument('--fresh', action='store_true',
                     help='wipe the parity workspace first')
+    ap.add_argument('--start-at', default='src',
+                    choices=['src', 'align', 'align-ablations', 'ssl'],
+                    help='skip stages already completed in the workspace')
     args = ap.parse_args()
 
     root = os.environ.get('REGDA_PARITY_ROOT', '/tmp/regda_parity_smoke')
@@ -73,25 +76,30 @@ def main():
 
     s = args.steps
     src_log = os.path.join(root, 'log')
+    order = ['src', 'align', 'align-ablations', 'ssl']
+    at = order.index(args.start_at)
 
     # ---- stage 1: source-supervised --------------------------------------
-    run_stage('train_src.py', ['--align-domain', '1'], '', env, s)
-    run_stage('init_prototypes.py', [
-        '--ckpt-model', f'{src_log}/src/Vaihingen_best.ckpt',
-        '--ckpt-proto', f'{src_log}/src/prototypes_best.ckpt',
-        '--stage', '1'], '', env, s)
+    if at <= 0:
+        run_stage('train_src.py', ['--align-domain', '1'], '', env, s)
+        run_stage('init_prototypes.py', [
+            '--ckpt-model', f'{src_log}/src/Vaihingen_best.ckpt',
+            '--ckpt-proto', f'{src_log}/src/prototypes_best.ckpt',
+            '--stage', '1'], '', env, s)
 
     # ---- stage 2 variants (all from the SAME stage-1 checkpoint) ---------
     s2_common = ['--ckpt-model', f'{src_log}/src/Vaihingen_best.ckpt',
                  '--ckpt-proto', f'{src_log}/src/prototypes_best.ckpt',
                  '--align-domain', '1']
-    run_stage('train_align_reg.py', s2_common + [
-        '--refine-label', '1', '--sam-refine', '--percent', '0.5'],
-        '', env, s)
-    run_stage('train_align_reg.py', s2_common + ['--refine-label', '1'],
-              '-nolrh', env, s)
-    run_stage('train_align_reg.py', s2_common + ['--refine-label', '0'],
-              '-norefine', env, s)
+    if at <= 1:
+        run_stage('train_align_reg.py', s2_common + [
+            '--refine-label', '1', '--sam-refine', '--percent', '0.5'],
+            '', env, s)
+    if at <= 2:
+        run_stage('train_align_reg.py', s2_common + ['--refine-label', '1'],
+                  '-nolrh', env, s)
+        run_stage('train_align_reg.py', s2_common + ['--refine-label', '0'],
+                  '-norefine', env, s)
 
     # ---- stage 3 from the full stage-2 -----------------------------------
     run_stage('init_prototypes.py', [

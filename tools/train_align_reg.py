@@ -111,6 +111,7 @@ def main():
         trainer.maybe_log(i_iter, metrics)
         trainer.maybe_eval(i_iter, stop_steps, eval_at_zero=True)
 
+    trainer.join_saver()
     # final prototypes for stage 3
     from regda_tpu.utils.checkpoint import save_prototypes
     save_prototypes(os.path.join(cfg.SNAPSHOT_DIR, 'prototypes_best'),

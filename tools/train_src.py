@@ -96,6 +96,7 @@ def main():
         trainer.maybe_log(i_iter, metrics)
         trainer.maybe_eval(i_iter, stop_steps)
 
+    trainer.join_saver()
     logger.info(f'>>>> Using {(time.time() - time_from) / 3600:.3f} hours.')
 
 

@@ -101,11 +101,23 @@ def main():
     # offline pseudo-label generation with the stage-2 model
     if args.gen:
         logger.info('###### Start generate pseudo dataset! ######')
-        pseudo_loader = DALoader(cfg.PSEUDO_DATA_CONFIG, cfg.DATASETS)
+        from regda_tpu.datasets import device_data_enabled
+        from regda_tpu.datasets.device_data import get_eval_set
+        if device_data_enabled(cfg.PSEUDO_DATA_CONFIG):
+            try:
+                # mask_dir dropped: generation only needs images + fnames,
+                # so skip the per-tile label reads
+                pseudo_loader = get_eval_set(
+                    dict(cfg.PSEUDO_DATA_CONFIG, mask_dir=None), cfg.DATASETS)
+            except (ValueError, AssertionError):
+                pseudo_loader = DALoader(cfg.PSEUDO_DATA_CONFIG, cfg.DATASETS)
+        else:
+            pseudo_loader = DALoader(cfg.PSEUDO_DATA_CONFIG, cfg.DATASETS)
         inferencer = SegInferencer(model, variables, meta.num_classes)
         gener_target_pseudo(cfg, inferencer, pseudo_loader,
                             save_pseudo_label_path, save_prob=True,
                             slide=True, ignore_label=meta.ignore_label,
+                            size=getattr(cfg, 'PSEUDO_SIZE', None),
                             logger=logger)
     target_config = dict(cfg.TARGET_DATA_CONFIG)
     target_config['mask_dir'] = [save_pseudo_label_path]
@@ -134,6 +146,7 @@ def main():
         trainer.maybe_log(i_iter, metrics)
         trainer.maybe_eval(i_iter, stop_steps, eval_at_zero=True)
 
+    trainer.join_saver()
     logger.info(f'>>>> Using {(time.time() - time_from) / 3600:.3f} hours.')
     shutil.rmtree(save_pseudo_label_path, ignore_errors=True)
     logger.info('removing pseudo labels')
