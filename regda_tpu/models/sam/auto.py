@@ -894,6 +894,8 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
         paints are enqueued back-to-back. With a mesh, phase 1 runs with
         the tile axis sharded over the devices instead (_phase1_sharded).
         """
+        import time as _time
+        self._t_gen_start = _time.perf_counter()
         h, w = tiles[0].shape[:2]
         assert all(t.shape[:2] == (h, w) for t in tiles)
         n_tiles = len(tiles)
@@ -1011,12 +1013,18 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
 
     def _phases23(self, tiles, per_pos, crop_boxes, layer_idxs, h, w,
                   area_threshold):
+        import os as _os
+        import time as _time
+        timing = _os.environ.get('REGDA_SAM_TIMING')
+        t0 = _time.perf_counter()
         n_tiles = len(tiles)
         # phase 2: per-tile NMS on the (batched) scalars
         pos_np = [dict(boxes=np.asarray(p['boxes']),
                        areas=np.asarray(p['areas']),
                        iou=np.asarray(p['iou']), ok=np.asarray(p['ok']))
                   for p in per_pos]
+        if timing:   # the scalar download above drains the phase-1 queue
+            t1 = _time.perf_counter()
         all_ids = []            # per tile: per position id vectors
         for ti in range(n_tiles):
             cand = []
@@ -1052,6 +1060,8 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
                     ids[ci][mi] = gid + 1
             all_ids.append(ids)
 
+        if timing:
+            t2 = _time.perf_counter()
         # phase 3: batched paint per crop position, one canvas download
         canvases = jnp.zeros((n_tiles, h, w), jnp.int32)
         for ci, (p, box) in enumerate(zip(per_pos, crop_boxes)):
@@ -1062,4 +1072,11 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
                                            p['ch'], p['cw']))
             canvases = paint(canvases, p['packed'], jnp.asarray(ids_ci))
         out = np.asarray(canvases.astype(jnp.uint16)).astype(np.int32)
+        if timing:
+            t3 = _time.perf_counter()
+            disp = t0 - getattr(self, '_t_gen_start', t0)
+            print(f'[sam-timing] n={n_tiles} dispatch={disp:.3f}s '
+                  f'drain+scalars={t1 - t0:.3f}s '
+                  f'nms={t2 - t1:.3f}s paint+dl={t3 - t2:.3f}s',
+                  flush=True)
         return [out[i] for i in range(n_tiles)]

@@ -700,9 +700,13 @@ def mask_decoder_fast(params, image_embeddings, image_pe, sparse_prompt,
 
     h, w = image_embeddings.shape[1:3]
     c = src.shape[-1]
+    # only upscale/hyper the masks the caller keeps: multimask drops mask 0
+    # (upstream returns masks[:, 1:]), so computing its hypernetwork row
+    # and its (B, 4H, 4W) plane is 25% wasted mask-head work + HBM writes
+    sel = (list(range(1, num_mask_tokens)) if multimask_output else [0])
     hyper_in = jnp.stack([
         _mlp(params[f'hyper_mlp{i}'], mask_tokens_out[:, i], 3, dtype)
-        for i in range(num_mask_tokens)], axis=1)
+        for i in sel], axis=1)
     src = jnp.broadcast_to(src, (b, *src.shape[1:])).reshape(b, h, w, c)
     mask_dtype = mask_dtype or jnp.float32
     if fused_upscale:
@@ -713,6 +717,7 @@ def mask_decoder_fast(params, image_embeddings, image_pe, sparse_prompt,
                                     out_dtype=mask_dtype)
     else:
         c4, c8 = c // 4, c // 8
+        m_sel = len(sel)
         up = _upscale_linear_flat(params['upscale_conv1'],
                                   src.reshape(b, h * w, c), dtype)
         up = _layernorm2d(params['upscale_ln'], up.reshape(b, h * w * 4, c4))
@@ -722,15 +727,15 @@ def mask_decoder_fast(params, image_embeddings, image_pe, sparse_prompt,
         up = up.reshape(b, h * w * 16, c8)         # blocks (dy, dx, gy, gx)
         masks = jnp.einsum('bpc,bmc->bmp', up, hyper_in,
                            preferred_element_type=jnp.float32)
-        masks = masks.reshape(b, num_mask_tokens, h, w, 2, 2, 2, 2)
+        masks = masks.reshape(b, m_sel, h, w, 2, 2, 2, 2)
         masks = masks.transpose(0, 1, 2, 4, 6, 3, 5, 7)
-        masks = masks.reshape(b, num_mask_tokens, 4 * h, 4 * w)
+        masks = masks.reshape(b, m_sel, 4 * h, 4 * w)
         masks = masks.astype(mask_dtype)
     iou_pred = _mlp(params['iou_prediction_head'], iou_token_out, 3,
                     jnp.float32)
     if multimask_output:
-        return masks[:, 1:], iou_pred[:, 1:]
-    return masks[:, :1], iou_pred[:, :1]
+        return masks, iou_pred[:, 1:]
+    return masks, iou_pred[:, :1]
 
 
 def mask_decoder_factored(params, image_embeddings, image_pe, sparse_prompt,

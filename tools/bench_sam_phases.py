@@ -124,7 +124,7 @@ def main():
 
     # ---------------- fused mask head (upscale + hyper) -------------------
     from regda_tpu.models.sam.pallas_upscale import upscale_hyper_masks
-    c4, c8, M = C // 4, C // 8, 4
+    c4, c8, M = C // 4, C // 8, 3   # multimask: mask 0 never upscaled
     src = jax.random.normal(ks[47], (B, 64, 64, C), dt)
     hyper = jax.random.normal(ks[48], (B, M, c8), dt)
     k1 = jax.random.normal(ks[10], (C, 4 * c4), dt) * 0.1
