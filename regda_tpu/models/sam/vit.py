@@ -210,6 +210,19 @@ class BlockNorm(nn.Module):
         return layernorm(x, scale, bias, eps=self.epsilon).astype(self.dtype)
 
 
+def _window_pad_mask(grid_hw, window):
+    """(n_windows, window, window) 0/1 mask of REAL (non-pad) positions."""
+    import numpy as _np
+    h, w = grid_hw
+    hp = h + (window - h % window) % window
+    wp = w + (window - w % window) % window
+    m = _np.zeros((hp, wp), _np.float32)
+    m[:h, :w] = 1.0
+    m = (m.reshape(hp // window, window, wp // window, window)
+         .transpose(0, 2, 1, 3).reshape(-1, window, window))
+    return m
+
+
 class Block(nn.Module):
     dim: int
     num_heads: int
@@ -218,13 +231,35 @@ class Block(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, windowed_in: bool = False,
+                 windowed_out: bool = False):
+        """windowed_in/out implement the PERSISTENT windowed layout: window
+        partition is a token permutation and everything outside attention
+        (LN, residual, MLP) is per-token, so consecutive windowed blocks
+        can stay in (B*nw, ws, ws, C) layout — one partition per windowed
+        RUN instead of a partition+unpartition per block. Exactness with
+        the per-block path: the stock path re-pads ZEROS after every
+        norm1 (window_partition pads the normalized tensor), so here the
+        pad positions are re-zeroed by a (nw, ws, ws) mask instead — a
+        cheap multiply replacing two full-tensor permutes. Pad tokens
+        carry per-token junk between blocks; it is masked before every
+        attention and dropped at unpartition, touching no real token."""
+        ws = self.window_size
         shortcut = x
         y = BlockNorm(epsilon=1e-6, dtype=self.dtype, name='norm1')(x)
-        if self.window_size > 0:
-            hw = y.shape[1:3]
-            y, pad_hw = window_partition(y, self.window_size)
-            attn_size = (self.window_size, self.window_size)
+        if ws > 0:
+            if windowed_in:
+                gh, gw = self.input_size
+                if gh % ws or gw % ws:      # re-zero pads (see docstring)
+                    m = jnp.asarray(_window_pad_mask(self.input_size, ws),
+                                    y.dtype)
+                    nw = m.shape[0]
+                    y = (y.reshape(-1, nw, ws, ws, y.shape[-1])
+                         * m[None, :, :, :, None]
+                         ).reshape(-1, ws, ws, y.shape[-1])
+            else:
+                y, _ = window_partition(y, ws)
+            attn_size = (ws, ws)
         else:
             attn_size = self.input_size
         import os as _os
@@ -234,14 +269,30 @@ class Block(nn.Module):
         fused = not _os.environ.get('REGDA_NO_PALLAS')
         y = Attention(self.dim, self.num_heads, input_size=attn_size,
                       dtype=self.dtype, pallas_fused=fused, name='attn')(y)
-        if self.window_size > 0:
-            y = window_unpartition(y, self.window_size, pad_hw, hw)
+        if ws > 0:
+            gh, gw = self.input_size
+            hp = gh + (ws - gh % ws) % ws
+            wp = gw + (ws - gw % ws) % ws
+            if windowed_in and not windowed_out:
+                # leave attention output windowed for the residual, then
+                # unpartition the whole block output at the end
+                pass
+            elif not windowed_in and windowed_out:
+                shortcut, _ = window_partition(shortcut, ws)
+            elif not windowed_in and not windowed_out:
+                y = window_unpartition(y, ws, (hp, wp), (gh, gw))
         x = shortcut + y
         y = BlockNorm(epsilon=1e-6, dtype=self.dtype, name='norm2')(x)
         y = nn.Dense(self.dim * 4, dtype=self.dtype, name='mlp_lin1')(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name='mlp_lin2')(y)
-        return x + y
+        out = x + y
+        if ws > 0 and windowed_in and not windowed_out:
+            gh, gw = self.input_size
+            hp = gh + (ws - gh % ws) % ws
+            wp = gw + (ws - gw % ws) % ws
+            out = window_unpartition(out, ws, (hp, wp), (gh, gw))
+        return out
 
 
 class ImageEncoderViT(nn.Module):
@@ -264,12 +315,20 @@ class ImageEncoderViT(nn.Module):
         pos = self.param('pos_embed', nn.initializers.zeros,
                          (1, grid, grid, self.embed_dim))
         x = x + pos
+        # persistent windowed layout across consecutive windowed blocks:
+        # one partition per windowed run + one unpartition before each
+        # global block, instead of a pair per block (see Block.__call__)
+        windowed = [i not in self.global_attn_indexes
+                    and self.window_size > 0 for i in range(self.depth)]
+        layout_windowed = False
         for i in range(self.depth):
+            w_out = windowed[i] and (i + 1 < self.depth) and windowed[i + 1]
             x = Block(self.embed_dim, self.num_heads,
-                      window_size=0 if i in self.global_attn_indexes
-                      else self.window_size,
+                      window_size=self.window_size if windowed[i] else 0,
                       input_size=(grid, grid), dtype=self.dtype,
-                      name=f'block{i}')(x)
+                      name=f'block{i}')(
+                x, windowed_in=layout_windowed, windowed_out=w_out)
+            layout_windowed = w_out
         x = nn.Conv(self.out_chans, (1, 1), use_bias=False, dtype=self.dtype,
                     name='neck_conv1')(x)
         x = LayerNorm2d(name='neck_ln1')(x)

@@ -779,3 +779,63 @@ def test_ln_project_differentiable():
     for a, ref in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(ref),
                                    rtol=1e-3, atol=1e-3)
+
+
+def test_persistent_windowed_layout_equals_per_block():
+    """Two consecutive windowed Blocks in PERSISTENT layout (partition
+    once, stay windowed, unpartition once — vit.py Block windowed_in/out)
+    must equal the stock per-block partition/unpartition path, on a grid
+    that needs padding (20 % 14 != 0) so the pad re-zeroing is exercised."""
+    from regda_tpu.models.sam.vit import Block
+
+    dim, heads, ws = 32, 2, 14
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 20, 20, dim))
+    b0 = Block(dim, heads, window_size=ws, input_size=(20, 20),
+               dtype=jnp.float32)
+    b1 = Block(dim, heads, window_size=ws, input_size=(20, 20),
+               dtype=jnp.float32)
+    v0 = b0.init(jax.random.PRNGKey(1), x)
+    v1 = b1.init(jax.random.PRNGKey(2), x)
+
+    # stock: each block partitions + unpartitions
+    y_stock = b1.apply(v1, b0.apply(v0, x))
+    # persistent: block 0 leaves the tensor windowed, block 1 consumes it
+    y_pers = b1.apply(v1, b0.apply(v0, x, windowed_out=True),
+                      windowed_in=True)
+    assert y_pers.shape == y_stock.shape == x.shape
+    np.testing.assert_allclose(np.asarray(y_pers), np.asarray(y_stock),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_encoder_persistent_layout_sequencing():
+    """ImageEncoderViT's layout plan (partition once per windowed run)
+    must reproduce per-block stock application of the SAME block params,
+    at a padded grid (320/16 = 20 tokens, window 14)."""
+    from regda_tpu.models.sam.vit import (Block, ImageEncoderViT, PatchEmbed,
+                                          LayerNorm2d)
+    import flax.linen as nn
+
+    enc = ImageEncoderViT(img_size=320, patch_size=16, embed_dim=32,
+                          depth=3, num_heads=2, out_chans=16,
+                          window_size=14, global_attn_indexes=(2,),
+                          dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 320, 320, 3))
+    v = enc.init({'params': jax.random.PRNGKey(1)}, x)
+    out = enc.apply(v, x)
+
+    # manual: patch embed + pos, then stock per-block calls, then neck
+    p = v['params']
+    pe = PatchEmbed(32, 16, dtype=jnp.float32)
+    y = pe.apply({'params': p['patch_embed']}, x) + p['pos_embed']
+    for i, ws in enumerate([14, 14, 0]):
+        blk = Block(32, 2, window_size=ws, input_size=(20, 20),
+                    dtype=jnp.float32)
+        y = blk.apply({'params': p[f'block{i}']}, y)
+    y = nn.Conv(16, (1, 1), use_bias=False,
+                dtype=jnp.float32).apply({'params': p['neck_conv1']}, y)
+    y = LayerNorm2d().apply({'params': p['neck_ln1']}, y)
+    y = nn.Conv(16, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
+                dtype=jnp.float32).apply({'params': p['neck_conv2']}, y)
+    y = LayerNorm2d().apply({'params': p['neck_ln2']}, y)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(y),
+                               rtol=2e-5, atol=2e-5)

@@ -43,6 +43,12 @@ def main():
     ap.add_argument('--checkpoint', default=None)
     ap.add_argument('--seed', type=int, default=0)
     ap.add_argument('--out', default=None)
+    # with --checkpoint absent (random init) the reference thresholds kill
+    # every candidate and the region comparison is vacuous; relax them so
+    # the two modes' SELECTIONS can actually diverge where scores do
+    ap.add_argument('--iou-thresh', type=float, default=0.90)
+    ap.add_argument('--stability-thresh', type=float, default=0.95)
+    ap.add_argument('--area-threshold', type=int, default=1024)
     args = ap.parse_args()
 
     import jax
@@ -70,7 +76,8 @@ def main():
 
     kwargs = dict(points_per_side=args.points_per_side,
                   points_per_batch=args.points_per_batch,
-                  pred_iou_thresh=0.90, stability_score_thresh=0.95,
+                  pred_iou_thresh=args.iou_thresh,
+                  stability_score_thresh=args.stability_thresh,
                   crop_n_points_downscale_factor=2)
     rng = np.random.RandomState(args.seed)
     tiles = [rng.randint(0, 255, (args.size, args.size, 3),
@@ -101,7 +108,8 @@ def main():
             st_f = np.asarray(st_f).ravel()
             st_e = np.asarray(st_e).ravel()
             deltas.append(st_f - st_e)
-            flips += int(((st_f >= 0.95) != (st_e >= 0.95)).sum())
+            thr = args.stability_thresh
+            flips += int(((st_f >= thr) != (st_e >= thr)).sum())
             n_cand += st_f.size
     deltas = np.concatenate(deltas)
     report['stability_delta'] = {
@@ -119,8 +127,8 @@ def main():
                                 stability_on_upscaled=False, **kwargs)
         ge = SamRegionGenerator(model, variables, crop_n_layers=layers,
                                 stability_on_upscaled=True, **kwargs)
-        rf = gf.generate_regions_batch(tiles)
-        re_ = ge.generate_regions_batch(tiles)
+        rf = gf.generate_regions_batch(tiles, area_threshold=args.area_threshold)
+        re_ = ge.generate_regions_batch(tiles, area_threshold=args.area_threshold)
         counts_f = [int(len(np.unique(r)) - 1) for r in rf]
         counts_e = [int(len(np.unique(r)) - 1) for r in re_]
         assigned_agree, pair_agree = [], []
