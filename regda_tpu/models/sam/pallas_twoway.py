@@ -121,23 +121,23 @@ def _kernel(ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
         c = x.shape[-1]
         reps = c // 128
         ones_mu = jnp.full((c, 128), 1.0 / c, dt)
-        mu = jnp.dot(x.astype(dt), ones_mu, preferred_element_type=f32)
-        mu = jnp.concatenate([mu] * reps, axis=-1)          # (T, C)
+        xb = x.astype(dt)
+        mu = jnp.dot(xb, ones_mu, preferred_element_type=f32)  # (T, 128)
+        # var = E[x^2] - mu^2 on the COMPACT (T, 128) moments: one wide
+        # x*x pass replaces the centered chain's wide subtract + cast +
+        # square (3 passes); the cancellation the centered form avoids is
+        # clamped away (values are O(1) LN inputs, f32 accumulated)
+        ex2 = jnp.dot(xb * xb, ones_mu, preferred_element_type=f32)
+        r = jax.lax.rsqrt(jnp.maximum(ex2 - mu * mu, 0.0) + eps)
+        mu = jnp.concatenate([mu] * reps, axis=-1)             # (T, C)
+        r = jnp.concatenate([r] * reps, axis=-1)
         if ln_dt:
-            # dt-elementwise variant (REGDA_TWOWAY_LN_DT=1): moments keep
-            # f32 MXU accumulation, the wide centered/normalize chain runs
-            # in bf16 — ~1 ulp bf16 extra error on an output that is cast
-            # to bf16 anyway; halves VPU/VMEM width of the hot passes.
-            xc = (x.astype(dt) - mu.astype(dt))
-            var = jnp.dot(xc * xc, ones_mu, preferred_element_type=f32)
-            var = jnp.concatenate([var] * reps, axis=-1)
-            r = jax.lax.rsqrt(var + eps)
-            return (xc * r.astype(dt)) * w.astype(dt) + b.astype(dt)
-        xc = x - mu
-        xcb = xc.astype(dt)
-        var = jnp.dot(xcb * xcb, ones_mu, preferred_element_type=f32)
-        var = jnp.concatenate([var] * reps, axis=-1)
-        y = xc * jax.lax.rsqrt(var + eps)
+            # dt-elementwise variant (REGDA_TWOWAY_LN_DT=1): the wide
+            # normalize chain runs in bf16 — ~1 ulp bf16 extra error on an
+            # output that is cast to bf16 anyway (measured neutral on v5e)
+            y = (xb - mu.astype(dt)) * r.astype(dt)
+            return y * w.astype(dt) + b.astype(dt)
+        y = (x - mu) * r
         return y * w.astype(f32) + b.astype(f32)
 
     def softmax_groups(logits):
