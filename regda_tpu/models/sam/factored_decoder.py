@@ -500,15 +500,12 @@ def two_way_transformer_dense_fused(params, image_embedding, image_pe,
     return queries, keys2
 
 
-def two_way_transformer_fused2(params, image_embedding, image_pe,
-                               point_embedding, num_heads=8,
-                               dtype=jnp.float32, interpret=None):
-    """two_way_transformer_dense with the whole prompt-resident core
-    (layer-0 image-to-token through the final attention) in ONE Pallas
-    kernel per prompt (pallas_twoway.py). The token-local layer-0 query
-    path and layer-1 self-attention stay in XLA. Identical math; requires
-    a batch-1 (shared) image embedding — the everything-mode setting."""
-    from regda_tpu.models.sam.pallas_twoway import NP, two_way_fused
+def _fused_prep(params, image_embedding, image_pe, point_embedding,
+                num_heads, dtype):
+    """Shared prep for the prompt-resident Pallas kernels: runs the
+    token-local layer-0 query path + layer-1 self-attention in XLA and
+    packs the kernel operand tuple (see pallas_twoway.two_way_fused)."""
+    from regda_tpu.models.sam.pallas_twoway import NP
     b1, h, w, c = image_embedding.shape
     assert b1 == 1, 'fused two-way requires a shared image embedding'
     t = h * w
@@ -575,10 +572,49 @@ def two_way_transformer_fused2(params, image_embedding, image_pe,
         'nfw': params['norm_final_attn']['scale'],
         'nfb': params['norm_final_attn']['bias'],
     }
-    keys2, qout = two_way_fused(
-        (padf(ktok0), padf(vtok0), padf(queries1), padf(qpe),
-         keys0, key_pe, qimg0, maskb, weights), num_heads, interpret)
+    operands = (padf(ktok0), padf(vtok0), padf(queries1), padf(qpe),
+                keys0, key_pe, qimg0, maskb, weights)
+    return operands, n
+
+
+def two_way_transformer_fused2(params, image_embedding, image_pe,
+                               point_embedding, num_heads=8,
+                               dtype=jnp.float32, interpret=None):
+    """two_way_transformer_dense with the whole prompt-resident core
+    (layer-0 image-to-token through the final attention) in ONE Pallas
+    kernel per prompt (pallas_twoway.py). The token-local layer-0 query
+    path and layer-1 self-attention stay in XLA. Identical math; requires
+    a batch-1 (shared) image embedding — the everything-mode setting."""
+    from regda_tpu.models.sam.pallas_twoway import two_way_fused
+    operands, n = _fused_prep(params, image_embedding, image_pe,
+                              point_embedding, num_heads, dtype)
+    keys2, qout = two_way_fused(operands, num_heads, interpret)
     return qout[:, :n], keys2
+
+
+def mask_decoder_mono(params, image_embedding, image_pe, point_embedding,
+                      num_heads=8, dtype=jnp.float32,
+                      mask_dtype=jnp.float32, interpret=None):
+    """Monolithic decode: two-way transformer + hypernetwork MLPs + mask
+    head in ONE Pallas program per prompt (pallas_monodecode.py) — the
+    per-prompt key state never leaves VMEM. Returns (queries (B, n, C),
+    masks (B, 3, 4H, 4W)). params: the full MaskDecoder param tree."""
+    from regda_tpu.models.sam.pallas_monodecode import mono_decode
+    from regda_tpu.models.sam.pallas_upscale import (
+        upscale_params_from_decoder)
+    operands, n = _fused_prep(params['transformer'], image_embedding,
+                              image_pe, point_embedding, num_heads, dtype)
+    hyper_w = tuple(
+        (params[f'hyper_mlp{m}']['lin0']['kernel'],
+         params[f'hyper_mlp{m}']['lin0']['bias'],
+         params[f'hyper_mlp{m}']['lin1']['kernel'],
+         params[f'hyper_mlp{m}']['lin1']['bias'],
+         params[f'hyper_mlp{m}']['lin2']['kernel'],
+         params[f'hyper_mlp{m}']['lin2']['bias']) for m in (1, 2, 3))
+    up_w = upscale_params_from_decoder(params, dtype)
+    masks, qout = mono_decode(operands, hyper_w, up_w, num_heads,
+                              out_dtype=mask_dtype, interpret=interpret)
+    return qout[:, :n], masks
 
 
 def two_way_transformer_factored(params, image_embedding, image_pe,
@@ -673,6 +709,21 @@ def mask_decoder_fast(params, image_embeddings, image_pe, sparse_prompt,
 
     src_shared = image_embeddings + dense_prompt[:1]
     import os as _os
+    pe4 = image_pe[None] if image_pe.ndim == 3 else image_pe
+    mono_ok = (fused_upscale and not factored and multimask_output
+               and num_multimask_outputs == 3)
+    if mono_ok and (_os.environ.get('REGDA_MONO_DECODE')
+                    or (jax.default_backend() == 'tpu'
+                        and not _os.environ.get('REGDA_NO_MONO')
+                        and not _os.environ.get('REGDA_NO_TWOWAY'))):
+        # monolithic per-prompt decode (pallas_monodecode.py): the key
+        # state never leaves VMEM between the transformer and mask head
+        hs, masks = mask_decoder_mono(
+            params, src_shared, pe4, tokens, num_heads=num_heads,
+            dtype=dtype, mask_dtype=mask_dtype or jnp.float32)
+        iou_pred = _mlp(params['iou_prediction_head'], hs[:, 0], 3,
+                        jnp.float32)
+        return masks, iou_pred[:, 1:]
     if factored:
         transformer = two_way_transformer_factored
     elif fused_upscale and (

@@ -1,0 +1,318 @@
+"""Pallas TPU kernel: monolithic SAM decode — two-way transformer +
+hypernetwork MLPs + mask head fused per prompt.
+
+Everything-mode's per-chunk decode previously ran as TWO 128-program
+kernels with an HBM round-trip between them: the prompt-resident two-way
+kernel (pallas_twoway.py) writes each prompt's final (4096, 256) key
+state (268 MB per 128-prompt chunk), XLA computes the tiny hypernetwork
+MLPs from the output tokens, and the fused mask head (pallas_upscale.py)
+reads the key states back. But the mask head's source IS the key state
+the two-way program already holds in VMEM — so this kernel runs the whole
+chain per prompt without ever materializing keys2:
+
+    keys2, qfin = two-way core            (pallas_twoway._twoway_body)
+    hyper_m     = MLP_m(qfin[1+m])        m in {1,2,3}; tiny (1, C) GEMMs
+    W           = block-diag embed of hyper rows, built IN-kernel from
+                  iota masks (no (B, 16*c8, M*16) host-side tensor)
+    masks       = mask head (ConvT1 -> LN -> gelu -> ConvT2 -> gelu -> W)
+                  streamed over row blocks of keys2 (same GEMM forms as
+                  pallas_upscale; depth-to-space stays outside)
+
+Per chunk this removes the 2x268 MB keys2 write+read, a second kernel
+launch, and the XLA glue between them; the only outputs are the blocked
+masks (B, T, M*16 — 50 MB/chunk) and the 7-token query state.
+
+Equality: composition of the two kernels' math (tests compare against the
+two-step fused path and the stock twin). Differentiable: backward is the
+VJP of the composed stock twin (_mono_stock), like every kernel here.
+
+Capability parity target: segment-anything's MaskDecoder as driven by the
+reference's everything mode (regda/utils/local_region_homog.py:30-39);
+built TPU-first rather than ported.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from regda_tpu.models.sam.pallas_twoway import (NP, WKEYS, _twoway_body,
+                                                _twoway_stock)
+from regda_tpu.models.sam.pallas_upscale import (_gelu_exact, _interleave,
+                                                 _upscale_stock)
+
+M_SEL = 3          # multimask: masks 1..3 (mask 0 is never returned)
+PIX = 1024         # mask-head row-block size (bounds VMEM)
+
+
+def _kernel(*refs, num_heads: int, head_dim: int, ln_dt: bool,
+            c4: int, c8: int):
+    (ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
+     keys0_ref, pe_ref, qimg0_ref,
+     colmask_ref, rowmask_ref, maskb_ref) = refs[:10]
+    wrefs = refs[10:10 + len(WKEYS)]
+    (k1_ref, b1_ref, pool_ref, lnw_ref, lnb_ref, k2bd_ref, b2t_ref,
+     hybd0_ref, hyb0_ref, hybd1_ref, hyb1_ref, hybd2_ref, hyb2_ref) = \
+        refs[10 + len(WKEYS):-2]
+    masks_out_ref, qout_ref = refs[-2:]
+
+    f32 = jnp.float32
+    dt = keys0_ref.dtype
+    keys2, qfin = _twoway_body(
+        ktok0_ref, vtok0_ref, q1_ref, qpe_ref, keys0_ref, pe_ref,
+        qimg0_ref, colmask_ref, rowmask_ref, maskb_ref, wrefs,
+        num_heads=num_heads, head_dim=head_dim, ln_dt=ln_dt)
+    qout_ref[0] = qfin.astype(dt)
+
+    # ---- hypernetwork MLPs on the mask tokens (rows 2..4 of qfin: row 0
+    # is the iou token, rows 1..4 the mask tokens, and multimask returns
+    # masks 1..3 — mask m pairs token 1+m with hyper_mlp{m}) -------------
+    # The three per-mask MLPs run as ONE row through block-diagonal
+    # (3C, 3C) weights: x = [q1 | q2 | q3] (1, 3C) built by three
+    # lane-blocked dots from qfin (Mosaic-friendly: no cross-lane
+    # reshape). Numerics match factored_decoder._mlp's bf16 chain.
+    c = qfin.shape[-1]
+    sel_rows = []
+    for m in range(M_SEL):
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, NP), 1)
+        onehot = (row_iota == (2 + m)).astype(dt)        # (1, NP)
+        sel_rows.append(jnp.dot(onehot, qfin.astype(dt),
+                                preferred_element_type=f32))  # (1, C)
+    # place each (1, C) into its 128-aligned lane block of (1, 3C)
+    x3 = jnp.concatenate(sel_rows, axis=-1).astype(dt)   # (1, 3C)
+    h = jnp.dot(x3, hybd0_ref[...], preferred_element_type=f32)
+    h = jax.nn.relu((h.astype(dt) + hyb0_ref[0][None, :].astype(dt)))
+    h = jnp.dot(h.astype(dt), hybd1_ref[...], preferred_element_type=f32)
+    h = jax.nn.relu((h.astype(dt) + hyb1_ref[0][None, :].astype(dt)))
+    h = jnp.dot(h.astype(dt), hybd2_ref[...], preferred_element_type=f32)
+    hcat = (h.astype(dt) + hyb2_ref[0][None, :].astype(dt)).astype(f32)
+    # hcat: (1, 3*c8) — hyper rows for masks 1..3, lane blocks of c8
+
+    # ---- build the hypernetwork GEMM W (16*c8, M*16) in-kernel --------
+    #   W[blk*c8 + ch, m*16 + blk'] = hyper[m][ch] * (blk == blk')
+    # via iota masks: P2[r, j] = hcat[0, (j//16)*c8 + (r % c8)]
+    r16 = 16 * c8
+    cols = M_SEL * 16
+    # hcatT (3*c8, 1): transpose via dot_general contraction on lanes
+    eye3c = (jax.lax.broadcasted_iota(jnp.int32, (M_SEL * c8, M_SEL * c8), 0)
+             == jax.lax.broadcasted_iota(
+                 jnp.int32, (M_SEL * c8, M_SEL * c8), 1)).astype(f32)
+    hcatT = jax.lax.dot_general(eye3c, hcat, (((1,), (1,)), ((), ())),
+                                preferred_element_type=f32)  # (3*c8, 1)
+    # R (16*c8, 3*c8): R[r, q] = (q % c8 == r % c8) & (q // c8 == ...)
+    # P2 = R @ diag-free: P2[r, j] needs m = j//16 — build as sum over m
+    # of (r%c8 pick) x (column mask):
+    rr = jax.lax.broadcasted_iota(jnp.int32, (r16, M_SEL * c8), 0)
+    qq = jax.lax.broadcasted_iota(jnp.int32, (r16, M_SEL * c8), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (M_SEL * c8, cols), 1)
+    mq = jax.lax.broadcasted_iota(jnp.int32, (M_SEL * c8, cols), 0)
+    # sel_q2j[q, j] = (q // c8 == j // 16): routes hyper lane block m to
+    # output column block m
+    sel_q2j = ((mq // c8) == (jj // 16)).astype(f32)
+    # rsel[r, q] = (q % c8 == r % c8)
+    rsel = ((qq % c8) == (rr % c8)).astype(f32)
+    # P2 = rsel @ (hcatT * sel_q2j): (16*c8, 3*c8) @ (3*c8, cols).
+    # f32: rsel is an exact 0/1 selector, so this is a pure rearrangement
+    # of the hyper values — any cast here would round them twice
+    p2 = jnp.dot(rsel, hcatT * sel_q2j, preferred_element_type=f32)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (r16, cols), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (r16, cols), 1)
+    p1 = ((ri // c8) == (ci % 16)).astype(f32)
+    w_hyper = (p1 * p2).astype(dt)                       # (16*c8, M*16)
+
+    # ---- mask head: stream keys2 row blocks through the GEMM chain ----
+    t = keys2.shape[0]
+    pix = min(PIX, t)
+    for blk in range(t // pix):
+        x = jax.lax.slice(keys2, (blk * pix, 0), ((blk + 1) * pix,
+                                                  keys2.shape[1]))
+        t1 = jnp.dot(x, k1_ref[...], preferred_element_type=f32)
+        t1 = t1 + b1_ref[0][None, :]                     # (PIX, 4*c4) f32
+        t1c = t1.astype(dt)
+        mu = jnp.dot(t1c, pool_ref[...], preferred_element_type=f32)
+        cen = t1 - mu
+        var = jnp.dot((cen * cen).astype(dt), pool_ref[...],
+                      preferred_element_type=f32)
+        y = cen * jax.lax.rsqrt(var + 1e-6)
+        y = (y * lnw_ref[0][None, :] + lnb_ref[0][None, :]).astype(dt)
+        y = _gelu_exact(y)
+        half = y.shape[-1] // 2
+        k2bd = k2bd_ref[...]
+        t2 = jnp.concatenate(
+            [jnp.dot(y[:, :half].astype(dt), k2bd,
+                     preferred_element_type=f32),
+             jnp.dot(y[:, half:].astype(dt), k2bd,
+                     preferred_element_type=f32)], axis=-1)
+        t2 = (t2 + b2t_ref[0][None, :]).astype(dt)       # (PIX, 16*c8)
+        t2 = _gelu_exact(t2)
+        out = jnp.dot(t2.astype(dt), w_hyper, preferred_element_type=f32)
+        masks_out_ref[0, blk * pix:(blk + 1) * pix] = out.astype(
+            masks_out_ref.dtype)
+
+
+def _hyper_blockdiag(hyper_w, dtype):
+    """Stack the 3 mask-token MLPs as block-diagonal weights so the kernel
+    runs them as ONE (1, 3C) row: returns per-layer (3*in, 3*out) kernels
+    + (1, 3*out) biases."""
+    outs = []
+    for li in range(3):
+        ks = [hw[2 * li] for hw in hyper_w]
+        bs = [hw[2 * li + 1] for hw in hyper_w]
+        n_in, n_out = ks[0].shape
+        wbd = jnp.zeros((3 * n_in, 3 * n_out), dtype)
+        for m, k in enumerate(ks):
+            wbd = wbd.at[m * n_in:(m + 1) * n_in,
+                         m * n_out:(m + 1) * n_out].set(k.astype(dtype))
+        bbd = jnp.concatenate([b.astype(jnp.float32) for b in bs])[None]
+        outs.append((wbd, bbd))
+    return outs
+
+
+def _mono_stock(allops, num_heads, out_dtype):
+    """XLA twin: two-way stock + hypernetwork MLPs + upscale stock."""
+    operands, hyper_w, up_w = allops
+    keys2, qout = _twoway_stock(operands, num_heads)
+    dt = keys2.dtype
+    b, t, c = keys2.shape
+    h = w = int(round(t ** 0.5))
+    hyper = []
+    for m in range(M_SEL):
+        x = qout[:, 2 + m]       # mask m+1's token (row 0 = iou token)
+        w0, b0, w1, b1, w2, b2 = hyper_w[m]
+        x = jax.nn.relu(x.astype(dt) @ w0.astype(dt) + b0.astype(dt))
+        x = jax.nn.relu(x.astype(dt) @ w1.astype(dt) + b1.astype(dt))
+        hyper.append(x.astype(dt) @ w2.astype(dt) + b2.astype(dt))
+    hyper_in = jnp.stack(hyper, axis=1)                  # (B, 3, c8)
+    k1, b1u, lnw, lnb, k2, b2u = up_w
+    masks = _upscale_stock(keys2.reshape(b, h, w, c), hyper_in,
+                           k1, b1u, lnw, lnb, k2, b2u, out_dtype)
+    return masks, qout
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _mono_cvjp(allops, num_heads, out_dtype, interpret):
+    return _mono_fwd_impl(allops, num_heads, out_dtype, interpret)
+
+
+def _mono_fwd(allops, num_heads, out_dtype, interpret):
+    return _mono_fwd_impl(allops, num_heads, out_dtype, interpret), allops
+
+
+def _mono_bwd(num_heads, out_dtype, interpret, res, g):
+    _, vjp = jax.vjp(lambda ops: _mono_stock(ops, num_heads, out_dtype),
+                     res)
+    return vjp(g)
+
+
+_mono_cvjp.defvjp(_mono_fwd, _mono_bwd)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('num_heads', 'out_dtype', 'interpret'))
+def _mono_fwd_impl(allops, num_heads: int = 8, out_dtype=jnp.float32,
+                   interpret: bool | None = None):
+    operands, hyper_w, up_w = allops
+    (ktok0, vtok0, q1, qpe, keys0, pe, qimg0, maskb, w) = operands
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    b = ktok0.shape[0]
+    t, c = keys0.shape
+    d = ktok0.shape[-1]
+    hd = d // num_heads
+    dt = keys0.dtype
+    f32 = jnp.float32
+
+    import numpy as np
+    colmask = np.zeros((d, num_heads * NP), np.float32)
+    rowmask = np.zeros((num_heads * NP, d), np.float32)
+    for hh in range(num_heads):
+        colmask[hh * hd:(hh + 1) * hd, hh * NP:(hh + 1) * NP] = 1.0
+        rowmask[hh * NP:(hh + 1) * NP, hh * hd:(hh + 1) * hd] = 1.0
+    colmask = jnp.asarray(colmask, dt)
+    rowmask = jnp.asarray(rowmask, dt)
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    def per_prompt(shape):
+        return pl.BlockSpec((1,) + shape, lambda i: (i,) + tuple(
+            0 for _ in shape), memory_space=pltpu.VMEM)
+
+    weight_ops, weight_specs = [], []
+    for k in WKEYS:
+        arr = w[k]
+        if arr.ndim == 1:
+            arr = arr.astype(f32)[None]
+        else:
+            arr = arr.astype(dt)
+        weight_ops.append(arr)
+        weight_specs.append(const(arr.shape))
+
+    # mask-head constants (same prep as pallas_upscale._upscale_fwd_impl)
+    k1, b1u, lnw, lnb, k2, b2u = up_w
+    c4 = k1.shape[1] // 4
+    c8 = k2.shape[1] // 4
+    blocks = jnp.arange(4 * c4) // c4
+    pool_m = (blocks[:, None] == blocks[None, :]).astype(dt) / c4
+    lnw_t = jnp.tile(lnw[0], 4)[None].astype(f32)
+    lnb_t = jnp.tile(lnb[0], 4)[None].astype(f32)
+    k2bd = jnp.kron(jnp.eye(2, dtype=dt), k2.astype(dt))
+    b2_t = jnp.tile(b2u[0], 4)[None].astype(f32)
+    mask_ops = [k1.astype(dt), b1u.astype(f32), pool_m, lnw_t, lnb_t,
+                k2bd, b2_t]
+    for wbd, bbd in _hyper_blockdiag(hyper_w, dt):
+        mask_ops += [wbd, bbd]
+    mask_specs = [const(x.shape) for x in mask_ops]
+
+    operands_flat = ([ktok0.astype(dt), vtok0.astype(dt), q1.astype(dt),
+                      qpe.astype(dt), keys0.astype(dt), pe.astype(dt),
+                      qimg0.astype(dt), colmask, rowmask,
+                      maskb.astype(f32)] + weight_ops + mask_ops)
+    in_specs = ([per_prompt((NP, d)), per_prompt((NP, d)),
+                 per_prompt((NP, c)), per_prompt((NP, c)),
+                 const((t, c)), const((t, c)), const((t, d)),
+                 const(colmask.shape), const(rowmask.shape),
+                 const((1, NP))] + weight_specs + mask_specs)
+
+    out_shapes = [jax.ShapeDtypeStruct((b, t, M_SEL * 16), out_dtype),
+                  jax.ShapeDtypeStruct((b, NP, c), dt)]
+    out_specs = [pl.BlockSpec((1, t, M_SEL * 16), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, NP, c), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)]
+
+    import os
+    ln_dt = os.environ.get('REGDA_TWOWAY_LN_DT', '0') == '1'
+    blocked, qout = pl.pallas_call(
+        functools.partial(_kernel, num_heads=num_heads, head_dim=hd,
+                          ln_dt=ln_dt, c4=c4, c8=c8),
+        out_shape=out_shapes,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(*operands_flat)
+    h = w_hw = int(round(t ** 0.5))
+    masks = _interleave(blocked, b, h, w_hw, M_SEL)
+    return masks, qout
+
+
+def mono_decode(operands, hyper_w, up_w, num_heads: int = 8,
+                out_dtype=jnp.float32, interpret: bool | None = None):
+    """Monolithic per-prompt SAM decode.
+
+    operands: the two_way_fused tuple (ktok0, vtok0, q1, qpe, keys0, pe,
+    qimg0, maskb, weights-dict). hyper_w: 3 tuples (w0, b0, w1, b1, w2,
+    b2) — the hyper_mlp{1,2,3} parameters. up_w: flattened upscale params
+    (upscale_params_from_decoder format). Returns (masks (B, 3, 4H, 4W)
+    out_dtype, queries_out (B, NP, C)). Differentiable via the VJP of the
+    composed stock twin."""
+    return _mono_cvjp((operands, hyper_w, up_w), num_heads, out_dtype,
+                      interpret)

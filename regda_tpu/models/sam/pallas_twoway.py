@@ -59,19 +59,36 @@ def _ln(x, w, b, eps=EPS):
     return y * w.astype(jnp.float32) + b.astype(jnp.float32)
 
 
-def _kernel(ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
-            keys0_ref, pe_ref, qimg0_ref,
-            colmask_ref, rowmask_ref, maskb_ref,
-            wo0_ref, bo0_ref, n40w_ref, n40b_ref,
-            wqt_ref, bqt_ref, wkt_ref, bkt_ref, wvt_ref, bvt_ref,
-            wot_ref, bot_ref, n2w_ref, n2b_ref,
-            w1_ref, b1_ref, w2_ref, b2_ref, n3w_ref, n3b_ref,
-            wqi_ref, bqi_ref, wki_ref, bki_ref, wvi_ref, bvi_ref,
-            woi_ref, boi_ref, n41w_ref, n41b_ref,
-            wqf_ref, bqf_ref, wkf_ref, bkf_ref, wvf_ref, bvf_ref,
-            wof_ref, bof_ref, nfw_ref, nfb_ref,
-            keys2_out_ref, qout_ref,
-            *, num_heads: int, head_dim: int, ln_dt: bool = False):
+# weight-ref order shared by this kernel and the monolithic decode kernel
+# (pallas_monodecode.py), which reuses _twoway_body with the same layout
+WKEYS = ('wo0', 'bo0', 'n40w', 'n40b',
+         'wqt', 'bqt', 'wkt', 'bkt', 'wvt', 'bvt', 'wot', 'bot',
+         'n2w', 'n2b',
+         'w1', 'b1', 'w2', 'b2', 'n3w', 'n3b',
+         'wqi', 'bqi', 'wki', 'bki', 'wvi', 'bvi', 'woi', 'boi',
+         'n41w', 'n41b',
+         'wqf', 'bqf', 'wkf', 'bkf', 'wvf', 'bvf', 'wof', 'bof',
+         'nfw', 'nfb')
+
+
+def _twoway_body(ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
+                 keys0_ref, pe_ref, qimg0_ref,
+                 colmask_ref, rowmask_ref, maskb_ref,
+                 wrefs,
+                 *, num_heads: int, head_dim: int, ln_dt: bool = False):
+    """Two-way transformer core on VMEM refs; returns (keys2 dt, qfin f32).
+
+    wrefs: weight refs in WKEYS order. Shared by _kernel (this file) and
+    the fused two-way+mask-head kernel in pallas_monodecode.py."""
+    w = dict(zip(WKEYS, wrefs))
+    (wo0_ref, bo0_ref, n40w_ref, n40b_ref,
+     wqt_ref, bqt_ref, wkt_ref, bkt_ref, wvt_ref, bvt_ref,
+     wot_ref, bot_ref, n2w_ref, n2b_ref,
+     w1_ref, b1_ref, w2_ref, b2_ref, n3w_ref, n3b_ref,
+     wqi_ref, bqi_ref, wki_ref, bki_ref, wvi_ref, bvi_ref,
+     woi_ref, boi_ref, n41w_ref, n41b_ref,
+     wqf_ref, bqf_ref, wkf_ref, bkf_ref, wvf_ref, bvf_ref,
+     wof_ref, bof_ref, nfw_ref, nfb_ref) = [w[k] for k in WKEYS]
     f32 = jnp.float32
     dt = keys0_ref.dtype
     h, hd = num_heads, head_dim
@@ -225,7 +242,6 @@ def _kernel(ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
     x2 = dot(attn_i, vrow1) + keys1.astype(f32)
     keys2 = ln_mxu(x2, n41w_ref[0][None, :],
                    n41b_ref[0][None, :]).astype(dt)
-    keys2_out_ref[0] = keys2
 
     # ---------------- final token-to-image attention --------------------
     qtokf = dot(qp3, wqf_ref[...]) + bqf_ref[0][None, :].astype(f32)
@@ -240,7 +256,21 @@ def _kernel(ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
     mergedf = merge_heads(of) + bvf_ref[0][None, :].astype(f32)
     outf = dot(mergedf, wof_ref[...]) + bof_ref[0][None, :].astype(f32)
     qfin = _ln(q3 + outf, nfw_ref[0][None, :], nfb_ref[0][None, :])
-    qout_ref[0] = qfin.astype(dt)
+    return keys2, qfin
+
+
+def _kernel(ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
+            keys0_ref, pe_ref, qimg0_ref,
+            colmask_ref, rowmask_ref, maskb_ref,
+            *rest,
+            num_heads: int, head_dim: int, ln_dt: bool = False):
+    *wrefs, keys2_out_ref, qout_ref = rest
+    keys2, qfin = _twoway_body(
+        ktok0_ref, vtok0_ref, q1_ref, qpe_ref, keys0_ref, pe_ref,
+        qimg0_ref, colmask_ref, rowmask_ref, maskb_ref, wrefs,
+        num_heads=num_heads, head_dim=head_dim, ln_dt=ln_dt)
+    keys2_out_ref[0] = keys2
+    qout_ref[0] = qfin.astype(keys2.dtype)
 
 
 def _twoway_stock(operands, num_heads: int):
@@ -362,16 +392,8 @@ def _twoway_fwd_impl(operands, num_heads: int = 8,
         return pl.BlockSpec((1,) + shape, lambda i: (i,) + tuple(
             0 for _ in shape), memory_space=pltpu.VMEM)
 
-    wkeys = ['wo0', 'bo0', 'n40w', 'n40b',
-             'wqt', 'bqt', 'wkt', 'bkt', 'wvt', 'bvt', 'wot', 'bot',
-             'n2w', 'n2b',
-             'w1', 'b1', 'w2', 'b2', 'n3w', 'n3b',
-             'wqi', 'bqi', 'wki', 'bki', 'wvi', 'bvi', 'woi', 'boi',
-             'n41w', 'n41b',
-             'wqf', 'bqf', 'wkf', 'bkf', 'wvf', 'bvf', 'wof', 'bof',
-             'nfw', 'nfb']
     weight_ops, weight_specs = [], []
-    for k in wkeys:
+    for k in WKEYS:
         arr = w[k]
         if arr.ndim == 1:                      # biases / norm params
             arr = arr.astype(f32)[None]

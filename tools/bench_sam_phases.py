@@ -144,6 +144,27 @@ def main():
     results['mask_head_ms_per_chunk'] = per * 1000
     print(f'mask head: {per*1000:.2f} ms / {B}-prompt chunk')
 
+    # ---------------- monolithic decode (two-way + hyper + mask head) -----
+    from regda_tpu.models.sam.pallas_monodecode import mono_decode
+    hyper_w = tuple((mk(12, C, C), mk(13, C), mk(14, C, C), mk(15, C),
+                     mk(16, C, c8), mk(17, c8)) for _ in range(3))
+    up_w = (mk(10, C, 4 * c4), jnp.zeros((1, 4 * c4), jnp.float32),
+            jnp.ones((1, c4), jnp.float32), jnp.zeros((1, c4), jnp.float32),
+            mk(11, c4, 4 * c8), jnp.zeros((1, 4 * c8), jnp.float32))
+
+    @jax.jit
+    def mono_fn(keys0, s):
+        masks, qo = mono_decode((ktok0, vtok0, q1, qpe,
+                                 keys0 + s.astype(dt), pe, qimg0,
+                                 maskb, weights), hyper_w, up_w,
+                                out_dtype=dt)
+        return masks, jnp.float32(jnp.sum(qo[0, 0, :2]))
+
+    per = chain_time(lambda x, s: mono_fn(x, s), keys0, args.iters)
+    results['mono_decode_ms_per_chunk'] = per * 1000
+    print(f'mono decode: {per*1000:.2f} ms / {B}-prompt chunk '
+          f'(vs two-way + mask head separately)')
+
     # ---------------- fused mask stats ------------------------------------
     from regda_tpu.models.sam.pallas_stats import mask_stats_fused
     logits = jax.random.normal(ks[49], (256, 256, 256), dt) * 4

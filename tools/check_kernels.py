@@ -208,6 +208,23 @@ def main():
     check('two_way_fused queries', np.asarray(qg)[:, :7],
           np.asarray(qw)[:, :7], rtol, atol)
 
+    # ---- 7. monolithic decode (two-way + hyper MLPs + mask head) -------
+    from regda_tpu.models.sam.pallas_monodecode import (mono_decode,
+                                                        _mono_stock)
+    c4m, c8m = c2 // 4, c2 // 8
+    hyper_w = tuple((arr(c2, c2, scale=0.1), arr(c2, scale=0.1),
+                     arr(c2, c2, scale=0.1), arr(c2, scale=0.1),
+                     arr(c2, c8m, scale=0.1), arr(c8m, scale=0.1))
+                    for _ in range(3))
+    up_w = (arr(c2, 4 * c4m, scale=0.1), arr(1, 4 * c4m, scale=0.1),
+            arr(1, c4m, scale=0.1), arr(1, c4m, scale=0.1),
+            arr(c4m, 4 * c8m, scale=0.1), arr(1, 4 * c8m, scale=0.1))
+    mg, qmg = mono_decode(ops, hyper_w, up_w, interpret=not on_tpu)
+    mw, qmw = _mono_stock((ops, hyper_w, up_w), 8, jnp.float32)
+    check('mono_decode masks', mg, mw, rtol, max(atol, 5e-2))
+    check('mono_decode queries', np.asarray(qmg)[:, :7],
+          np.asarray(qmw)[:, :7], rtol, atol)
+
     n_fail = sum(1 for _, ok, _ in RESULTS if not ok)
     print(f'\n{len(RESULTS) - n_fail}/{len(RESULTS)} kernel checks passed '
           f'on {backend} ({args.dtype})')
