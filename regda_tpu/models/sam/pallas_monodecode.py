@@ -50,7 +50,7 @@ PIX = 1024         # mask-head row-block size (bounds VMEM)
 
 
 def _kernel(*refs, num_heads: int, head_dim: int, ln_dt: bool,
-            c4: int, c8: int):
+            c4: int, c8: int, pp: int = 1):
     (ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
      keys0_ref, pe_ref, qimg0_ref,
      colmask_ref, rowmask_ref, maskb_ref) = refs[:10]
@@ -60,13 +60,34 @@ def _kernel(*refs, num_heads: int, head_dim: int, ln_dt: bool,
         refs[10 + len(WKEYS):-2]
     masks_out_ref, qout_ref = refs[-2:]
 
+    # pp prompts per program: their chains are fully independent, so the
+    # scheduler can overlap one prompt's VPU passes (LN/softmax/gelu)
+    # with another's MXU matmuls — the per-prompt chain alone leaves each
+    # unit idle while the other works (measured ~26% MXU single-prompt)
+    for j in range(pp):
+        _mono_one(j, ktok0_ref, vtok0_ref, q1_ref, qpe_ref, keys0_ref,
+                  pe_ref, qimg0_ref, colmask_ref, rowmask_ref, maskb_ref,
+                  wrefs, k1_ref, b1_ref, pool_ref, lnw_ref, lnb_ref,
+                  k2bd_ref, b2t_ref, hybd0_ref, hyb0_ref, hybd1_ref,
+                  hyb1_ref, hybd2_ref, hyb2_ref, masks_out_ref, qout_ref,
+                  num_heads=num_heads, head_dim=head_dim, ln_dt=ln_dt,
+                  c4=c4, c8=c8)
+
+
+def _mono_one(j, ktok0_ref, vtok0_ref, q1_ref, qpe_ref, keys0_ref,
+              pe_ref, qimg0_ref, colmask_ref, rowmask_ref, maskb_ref,
+              wrefs, k1_ref, b1_ref, pool_ref, lnw_ref, lnb_ref,
+              k2bd_ref, b2t_ref, hybd0_ref, hyb0_ref, hybd1_ref,
+              hyb1_ref, hybd2_ref, hyb2_ref, masks_out_ref, qout_ref,
+              *, num_heads: int, head_dim: int, ln_dt: bool,
+              c4: int, c8: int):
     f32 = jnp.float32
     dt = keys0_ref.dtype
     keys2, qfin = _twoway_body(
         ktok0_ref, vtok0_ref, q1_ref, qpe_ref, keys0_ref, pe_ref,
         qimg0_ref, colmask_ref, rowmask_ref, maskb_ref, wrefs,
-        num_heads=num_heads, head_dim=head_dim, ln_dt=ln_dt)
-    qout_ref[0] = qfin.astype(dt)
+        num_heads=num_heads, head_dim=head_dim, ln_dt=ln_dt, row=j)
+    qout_ref[j] = qfin.astype(dt)
 
     # ---- hypernetwork MLPs on the mask tokens (rows 2..4 of qfin: row 0
     # is the iou token, rows 1..4 the mask tokens, and multimask returns
@@ -150,7 +171,7 @@ def _kernel(*refs, num_heads: int, head_dim: int, ln_dt: bool,
         t2 = (t2 + b2t_ref[0][None, :]).astype(dt)       # (PIX, 16*c8)
         t2 = _gelu_exact(t2)
         out = jnp.dot(t2.astype(dt), w_hyper, preferred_element_type=f32)
-        masks_out_ref[0, blk * pix:(blk + 1) * pix] = out.astype(
+        masks_out_ref[j, blk * pix:(blk + 1) * pix] = out.astype(
             masks_out_ref.dtype)
 
 
@@ -235,12 +256,19 @@ def _mono_fwd_impl(allops, num_heads: int = 8, out_dtype=jnp.float32,
     colmask = jnp.asarray(colmask, dt)
     rowmask = jnp.asarray(rowmask, dt)
 
+    import os
+    # prompts per program (see _kernel): default 2 on even batches —
+    # interleaving two independent chains overlaps VPU and MXU phases
+    pp = int(os.environ.get('REGDA_MONO_PP', '2'))
+    while pp > 1 and b % pp:
+        pp -= 1
+
     def const(shape):
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                             memory_space=pltpu.VMEM)
 
     def per_prompt(shape):
-        return pl.BlockSpec((1,) + shape, lambda i: (i,) + tuple(
+        return pl.BlockSpec((pp,) + shape, lambda i: (i,) + tuple(
             0 for _ in shape), memory_space=pltpu.VMEM)
 
     weight_ops, weight_specs = [], []
@@ -281,18 +309,17 @@ def _mono_fwd_impl(allops, num_heads: int = 8, out_dtype=jnp.float32,
 
     out_shapes = [jax.ShapeDtypeStruct((b, t, M_SEL * 16), out_dtype),
                   jax.ShapeDtypeStruct((b, NP, c), dt)]
-    out_specs = [pl.BlockSpec((1, t, M_SEL * 16), lambda i: (i, 0, 0),
+    out_specs = [pl.BlockSpec((pp, t, M_SEL * 16), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM),
-                 pl.BlockSpec((1, NP, c), lambda i: (i, 0, 0),
+                 pl.BlockSpec((pp, NP, c), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)]
 
-    import os
     ln_dt = os.environ.get('REGDA_TWOWAY_LN_DT', '0') == '1'
     blocked, qout = pl.pallas_call(
         functools.partial(_kernel, num_heads=num_heads, head_dim=hd,
-                          ln_dt=ln_dt, c4=c4, c8=c8),
+                          ln_dt=ln_dt, c4=c4, c8=c8, pp=pp),
         out_shape=out_shapes,
-        grid=(b,),
+        grid=(b // pp,),
         in_specs=in_specs,
         out_specs=out_specs,
         interpret=interpret,

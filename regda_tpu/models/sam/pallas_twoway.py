@@ -75,11 +75,15 @@ def _twoway_body(ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
                  keys0_ref, pe_ref, qimg0_ref,
                  colmask_ref, rowmask_ref, maskb_ref,
                  wrefs,
-                 *, num_heads: int, head_dim: int, ln_dt: bool = False):
+                 *, num_heads: int, head_dim: int, ln_dt: bool = False,
+                 row: int = 0):
     """Two-way transformer core on VMEM refs; returns (keys2 dt, qfin f32).
 
     wrefs: weight refs in WKEYS order. Shared by _kernel (this file) and
-    the fused two-way+mask-head kernel in pallas_monodecode.py."""
+    the fused two-way+mask-head kernel in pallas_monodecode.py. row: which
+    prompt of the block to process (pallas_monodecode packs several
+    prompts per program so their independent chains interleave on the
+    MXU/VPU)."""
     w = dict(zip(WKEYS, wrefs))
     (wo0_ref, bo0_ref, n40w_ref, n40b_ref,
      wqt_ref, bqt_ref, wkt_ref, bkt_ref, wvt_ref, bvt_ref,
@@ -189,8 +193,8 @@ def _twoway_body(ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
         return dot32(sel, o_full * rowmask.astype(f32))
 
     # ---------------- layer 0: image-to-token update -> keys1 ----------
-    kt0 = ktok0_ref[0]                                  # (NP, D)
-    vt0 = vtok0_ref[0]
+    kt0 = ktok0_ref[row]                                # (NP, D)
+    vt0 = vtok0_ref[row]
     logits0 = dot(qimg0_ref[...], block_cols(kt0)) * scale
     attn0 = softmax_groups(logits0)
     # out-projection + bias folded into the TINY value rows:
@@ -205,8 +209,8 @@ def _twoway_body(ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
     pe = pe_ref[...]
 
     # ---------------- layer 1: token-to-image (query side) -------------
-    q1 = q1_ref[0].astype(f32)                          # (NP, C)
-    qpe = qpe_ref[0].astype(f32)
+    q1 = q1_ref[row].astype(f32)                        # (NP, C)
+    qpe = qpe_ref[row].astype(f32)
     qtok = dot(q1 + qpe, wqt_ref[...]) + bqt_ref[0][None, :].astype(f32)
     qblk = block_cols(qtok.astype(dt))                  # (D, H*NP)
     e1 = dot(wkt_ref[...], qblk)                        # (C, H*NP) f32
