@@ -712,10 +712,11 @@ def mask_decoder_fast(params, image_embeddings, image_pe, sparse_prompt,
     pe4 = image_pe[None] if image_pe.ndim == 3 else image_pe
     mono_ok = (fused_upscale and not factored and multimask_output
                and num_multimask_outputs == 3)
+    # TODO(flip to default-on for TPU once compiled+measured on the real
+    # chip — the tunnel was down when this landed; CPU interpret parity
+    # and e2e are green)
     if mono_ok and (_os.environ.get('REGDA_MONO_DECODE')
-                    or (jax.default_backend() == 'tpu'
-                        and not _os.environ.get('REGDA_NO_MONO')
-                        and not _os.environ.get('REGDA_NO_TWOWAY'))):
+                    and not _os.environ.get('REGDA_NO_MONO')):
         # monolithic per-prompt decode (pallas_monodecode.py): the key
         # state never leaves VMEM between the transformer and mask head
         hs, masks = mask_decoder_mono(
