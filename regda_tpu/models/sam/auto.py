@@ -793,9 +793,13 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
                 from regda_tpu.models.sam.pallas_stats import mask_stats_fused
                 sy, sx = ch / nh, cw / nw
 
-                def stats_one_fused(logits):
+                def stats_one_fused(logits, ok):
+                    # ok gates per-slot work in the kernel: budget slots
+                    # past the real mask count skip their 1024^2 pass
+                    # (their outputs are garbage; every consumer is
+                    # already ANDed with ok)
                     packed, boxes_px, areas_px = mask_stats_fused(
-                        logits, size, nh, nw)
+                        logits, size, nh, nw, active=ok)
                     boxes = boxes_px * jnp.asarray(
                         [sx, sy, sx, sy], jnp.float32)[None]
                     return packed, boxes, areas_px * (sy * sx)
@@ -803,7 +807,8 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
                 self._jits[key] = jax.jit(jax.vmap(stats_one_fused))
                 return self._jits[key]
 
-            def stats_one(logits):
+            def stats_one(logits, ok):
+                del ok               # XLA twin computes every slot
                 x = resize_bilinear_half_pixel(logits[..., None],
                                                (size, size))[..., 0]
                 masks = x > 0.0
@@ -906,7 +911,7 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
                 embs = enc_b(self.variables, xs)
                 logits, iou, ok = decode_b(self.variables, embs,
                                            pts_padded, valid)
-                packed, boxes, areas = stats_b(logits)
+                packed, boxes, areas = stats_b(logits, ok)
                 parts.append((packed, boxes, areas, iou, ok))
             cat = [jnp.concatenate(field)[:n_tiles]
                    for field in zip(*parts)]
@@ -1009,7 +1014,7 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
                 logits, iou, ok = g['decode'](
                     self.variables, embs[off:off + n, None], g['pts'],
                     g['valid'])
-                packed, boxes, areas = g['stats'](logits)
+                packed, boxes, areas = g['stats'](logits, ok)
                 for k, ci in enumerate(g['cis']):
                     results[ci].append((packed[k], boxes[k], areas[k],
                                         iou[k], ok[k]))

@@ -33,8 +33,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(logit_ref, uh_ref, uwt_ref, packw_ref,
+def _kernel(active_ref, logit_ref, uh_ref, uwt_ref, packw_ref,
             packed_ref, stats_ref, *, nh: int, nw: int):
+    # budget slots beyond the number of threshold-passing masks carry no
+    # information (ok=False downstream masks every consumer: NMS only
+    # assigns paint ids to ok candidates, and the box/area filter is
+    # ANDed with ok) — skip their ~27 us of 1024^2 work entirely. The
+    # tiny logit-block DMA still happens; compute and output writes don't.
+    @pl.when(active_ref[0] != 0)
+    def _():
+        _stats_body(logit_ref, uh_ref, uwt_ref, packw_ref,
+                    packed_ref, stats_ref, nh=nh, nw=nw)
+
+
+def _stats_body(logit_ref, uh_ref, uwt_ref, packw_ref,
+                packed_ref, stats_ref, *, nh: int, nw: int):
     f32 = jnp.float32
     x = logit_ref[0].astype(f32)                              # (S, S)
     # HIGHEST precision: the result is thresholded at 0, and the XLA twin
@@ -81,18 +94,28 @@ def _kernel(logit_ref, uh_ref, uwt_ref, packw_ref,
 @functools.partial(jax.jit,
                    static_argnames=('size', 'nh', 'nw', 'interpret'))
 def mask_stats_fused(logits, size: int, nh: int, nw: int,
-                     interpret: bool | None = None):
+                     interpret: bool | None = None, active=None):
     """(M, S, S) low-res mask logits -> (packed (M, size, size//8) uint8,
     boxes_px (M, 4) f32 [x0, y0, x1, y1] in the (nh, nw) frame,
     areas_px (M,) f32 pixel counts in the (nh, nw) frame).
 
     Callers scale boxes/areas to the crop pixel frame (ch/nh, cw/nw)
     exactly as the XLA twin does.
+
+    active: optional (M,) bool/int — slots with active=False are SKIPPED
+    (their outputs are unwritten garbage; callers must mask every
+    consumer with the same flag, as the region pipeline does with `ok`).
+    The budget is sized for the worst case, but most tiles pass far
+    fewer masks than `mask_budget`, so this turns a fixed per-budget cost
+    into a per-real-mask cost.
     """
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
     from regda_tpu.ops.resize import _interp_matrix_half_pixel
     m, s, _ = logits.shape
+    if active is None:
+        active = jnp.ones((m,), jnp.int32)
+    active = active.astype(jnp.int32)
     uh = jnp.asarray(_interp_matrix_half_pixel(s, size))       # (size, s)
     uwt = jnp.asarray(_interp_matrix_half_pixel(s, size).T)    # (s, size)
     packw = np.zeros((size, size // 8), np.float32)
@@ -110,7 +133,9 @@ def mask_stats_fused(logits, size: int, nh: int, nw: int,
         out_shape=[jax.ShapeDtypeStruct((m, size, size // 8), jnp.int32),
                    jax.ShapeDtypeStruct((m, 1, 128), jnp.float32)],
         grid=(m,),
-        in_specs=[pl.BlockSpec((1, s, s), lambda i: (i, 0, 0),
+        in_specs=[pl.BlockSpec((1,), lambda i: (i,),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, s, s), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
                   const((size, s)), const((s, size)),
                   const((size, size // 8))],
@@ -121,7 +146,7 @@ def mask_stats_fused(logits, size: int, nh: int, nw: int,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(logits, uh, uwt, packw)
+    )(active, logits, uh, uwt, packw)
     st = stats[:, 0, :]
     boxes = jnp.stack([st[:, 2], st[:, 0], st[:, 3], st[:, 1]], axis=1)
     return packed.astype(jnp.uint8), boxes, st[:, 4]

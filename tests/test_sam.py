@@ -886,3 +886,19 @@ def test_mask_decoder_mono_equals_two_step(monkeypatch):
     g = jax.grad(loss_mono)(emb)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0.0
+
+
+def test_mask_stats_fused_active_gating():
+    """Slots with active=False are skipped (garbage out); active slots
+    must be bit-identical to the all-active run."""
+    from regda_tpu.models.sam.pallas_stats import mask_stats_fused
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(6, 32, 32).astype(np.float32) * 3)
+    active = jnp.asarray(np.array([1, 0, 1, 1, 0, 1], np.int32))
+    pf, bf, af = mask_stats_fused(logits, 128, 100, 96, interpret=True)
+    pa, ba, aa = mask_stats_fused(logits, 128, 100, 96, interpret=True,
+                                  active=active)
+    idx = np.nonzero(np.asarray(active))[0]
+    np.testing.assert_array_equal(np.asarray(pa)[idx], np.asarray(pf)[idx])
+    np.testing.assert_array_equal(np.asarray(ba)[idx], np.asarray(bf)[idx])
+    np.testing.assert_array_equal(np.asarray(aa)[idx], np.asarray(af)[idx])
