@@ -1097,15 +1097,30 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
 
         if timing:
             t2 = _time.perf_counter()
-        # phase 3: batched paint per crop position, one canvas download
+        # phase 3: batched paint per crop position, one canvas download.
+        # NMS already happened on host, so only the budget slots that got
+        # a region id in SOME tile are gathered into the paint — the
+        # unpack-and-max runs over ~assigned masks, not the whole budget
+        # (slot counts bucketed to powers of two to bound recompiles)
         canvases = jnp.zeros((n_tiles, h, w), jnp.int32)
         for ci, (p, box) in enumerate(zip(per_pos, crop_boxes)):
             ids_ci = np.stack([all_ids[ti][ci] for ti in range(n_tiles)])
-            if not ids_ci.any():
+            used = np.nonzero(ids_ci.any(axis=0))[0]
+            if not len(used):
                 continue
+            m_total = ids_ci.shape[1]
+            k = 1
+            while k < len(used):
+                k *= 2
+            k = min(k, m_total)
+            sel = np.zeros(k, np.int64)
+            sel[:len(used)] = used               # pad repeats slot `used[0]`
+            ids_sel = np.zeros((n_tiles, k), ids_ci.dtype)
+            ids_sel[:, :len(used)] = ids_ci[:, used]   # pad ids stay 0
             paint = self._paint_packed_fn((p['nh'], p['nw'], box[0], box[1],
                                            p['ch'], p['cw']))
-            canvases = paint(canvases, p['packed'], jnp.asarray(ids_ci))
+            canvases = paint(canvases, p['packed'][:, jnp.asarray(sel)],
+                             jnp.asarray(ids_sel))
         out = np.asarray(canvases.astype(jnp.uint16)).astype(np.int32)
         if timing:
             t3 = _time.perf_counter()
