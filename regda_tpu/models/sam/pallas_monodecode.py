@@ -118,15 +118,6 @@ def _mono_one(j, ktok0_ref, vtok0_ref, q1_ref, qpe_ref, keys0_ref,
     # via iota masks: P2[r, j] = hcat[0, (j//16)*c8 + (r % c8)]
     r16 = 16 * c8
     cols = M_SEL * 16
-    # hcatT (3*c8, 1): transpose via dot_general contraction on lanes
-    eye3c = (jax.lax.broadcasted_iota(jnp.int32, (M_SEL * c8, M_SEL * c8), 0)
-             == jax.lax.broadcasted_iota(
-                 jnp.int32, (M_SEL * c8, M_SEL * c8), 1)).astype(f32)
-    hcatT = jax.lax.dot_general(eye3c, hcat, (((1,), (1,)), ((), ())),
-                                preferred_element_type=f32)  # (3*c8, 1)
-    # R (16*c8, 3*c8): R[r, q] = (q % c8 == r % c8) & (q // c8 == ...)
-    # P2 = R @ diag-free: P2[r, j] needs m = j//16 — build as sum over m
-    # of (r%c8 pick) x (column mask):
     rr = jax.lax.broadcasted_iota(jnp.int32, (r16, M_SEL * c8), 0)
     qq = jax.lax.broadcasted_iota(jnp.int32, (r16, M_SEL * c8), 1)
     jj = jax.lax.broadcasted_iota(jnp.int32, (M_SEL * c8, cols), 1)
@@ -134,12 +125,11 @@ def _mono_one(j, ktok0_ref, vtok0_ref, q1_ref, qpe_ref, keys0_ref,
     # sel_q2j[q, j] = (q // c8 == j // 16): routes hyper lane block m to
     # output column block m
     sel_q2j = ((mq // c8) == (jj // 16)).astype(f32)
-    # rsel[r, q] = (q % c8 == r % c8)
+    # rsel[r, q] = (q % c8 == r % c8); scaling its columns by the hyper
+    # row (a plain lane broadcast) folds the values in without any
+    # transpose, and the 0/1 selector keeps the product exact in f32
     rsel = ((qq % c8) == (rr % c8)).astype(f32)
-    # P2 = rsel @ (hcatT * sel_q2j): (16*c8, 3*c8) @ (3*c8, cols).
-    # f32: rsel is an exact 0/1 selector, so this is a pure rearrangement
-    # of the hyper values — any cast here would round them twice
-    p2 = jnp.dot(rsel, hcatT * sel_q2j, preferred_element_type=f32)
+    p2 = jnp.dot(rsel * hcat, sel_q2j, preferred_element_type=f32)
     ri = jax.lax.broadcasted_iota(jnp.int32, (r16, cols), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (r16, cols), 1)
     p1 = ((ri // c8) == (ci % 16)).astype(f32)
