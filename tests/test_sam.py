@@ -902,3 +902,25 @@ def test_mask_stats_fused_active_gating():
     np.testing.assert_array_equal(np.asarray(pa)[idx], np.asarray(pf)[idx])
     np.testing.assert_array_equal(np.asarray(ba)[idx], np.asarray(bf)[idx])
     np.testing.assert_array_equal(np.asarray(aa)[idx], np.asarray(af)[idx])
+
+
+def test_mask_stats_fused_active_vmapped():
+    """The crop group vmaps the fused stats over positions with per-
+    position active flags — interpret-mode parity vs per-position calls."""
+    from regda_tpu.models.sam.pallas_stats import mask_stats_fused
+    rng = np.random.RandomState(1)
+    logits = jnp.asarray(rng.randn(3, 4, 32, 32).astype(np.float32) * 3)
+    active = jnp.asarray((rng.rand(3, 4) > 0.4).astype(np.int32))
+    fn = jax.vmap(lambda l, a: mask_stats_fused(l, 128, 100, 96,
+                                                interpret=True, active=a))
+    pv, bv, av = fn(logits, active)
+    for p in range(3):
+        pf, bf, af = mask_stats_fused(logits[p], 128, 100, 96,
+                                      interpret=True)
+        idx = np.nonzero(np.asarray(active[p]))[0]
+        np.testing.assert_array_equal(np.asarray(pv[p])[idx],
+                                      np.asarray(pf)[idx])
+        np.testing.assert_array_equal(np.asarray(bv[p])[idx],
+                                      np.asarray(bf)[idx])
+        np.testing.assert_array_equal(np.asarray(av[p])[idx],
+                                      np.asarray(af)[idx])
