@@ -73,9 +73,18 @@ def logging_cfg(cfg, logger):
     logger.info('<<<<<<<<<<<<<<<<<<<<< config logging end!')
 
 
-def seed_all(seed: int = 2333):
+def default_seed() -> int:
+    """2333 (the reference's seed_torch(2333), tools/train_src.py:169-172)
+    unless REGDA_SEED overrides it — the reference exposes no seed flag,
+    so the override is env-only to keep the CLI surface identical. Used
+    for seed variance studies (tools/run_parity.py --seeds)."""
+    return int(os.environ.get('REGDA_SEED', '2333'))
+
+
+def seed_all(seed: int = None):
     """Host-side seeding; device randomness is explicit jax PRNG keys."""
     import random
+    seed = default_seed() if seed is None else seed
     random.seed(seed)
     os.environ['PYTHONHASHSEED'] = str(seed)
     np.random.seed(seed)

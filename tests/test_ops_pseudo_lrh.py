@@ -148,3 +148,29 @@ def test_region_histogram_segment_sum():
         for r in range(9):
             for c in range(6):
                 assert hist[bi, r, c] == np.sum((reg[bi] == r) & (lbl[bi] == c))
+
+
+def test_homogenize_denoises_region_consistent_labels():
+    """The paper's mechanism (reference local_region_homog.py:125-152):
+    when pseudo-label noise stays a minority within each SAM region,
+    the region-majority vote restores the clean labels exactly.
+    Deterministic demonstration of the LRH gain that PARITY.md's tiny
+    synthetic training runs cannot resolve above seed noise."""
+    rng = np.random.RandomState(0)
+    h = w = 33
+    n_classes = 5
+    # regions 1..9 as a 3x3 block partition (0 would mean unassigned)
+    blk = h // 3
+    rr = (np.arange(h) // blk)[:, None] * 3 + (np.arange(w) // blk)[None, :]
+    regions = (rr + 1).astype(np.int32)[None]
+    clean = (rr % n_classes).astype(np.int32)[None]
+    # corrupt 30% of pixels (< the 0.5 percent gate's complement) per tile
+    noisy = clean.copy().ravel()
+    idx = rng.choice(noisy.size, size=int(0.3 * noisy.size), replace=False)
+    noisy[idx] = rng.randint(0, n_classes, idx.size)
+    noisy = noisy.reshape(clean.shape)
+    assert (noisy != clean).mean() > 0.2  # the corruption is real
+    out = np.asarray(homogenize(jnp.asarray(noisy), jnp.asarray(regions),
+                                percent=0.5, num_classes=n_classes,
+                                num_regions=16))
+    np.testing.assert_array_equal(out, clean)

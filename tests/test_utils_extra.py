@@ -177,3 +177,20 @@ def test_train_state_checkpoint_roundtrip(tmp_path):
     restored2 = load_pytree_as(path, state)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b)), restored, restored2)
+
+
+def test_default_seed_env_override(monkeypatch):
+    """REGDA_SEED overrides the reference's hardwired seed_torch(2333)
+    (reference tools/train_src.py:169-172); explicit args still win."""
+    from regda_tpu.utils.tools import default_seed, seed_all
+    monkeypatch.delenv('REGDA_SEED', raising=False)
+    assert default_seed() == 2333
+    seed_all()
+    a = np.random.rand()
+    monkeypatch.setenv('REGDA_SEED', '777')
+    assert default_seed() == 777
+    seed_all()
+    b = np.random.rand()
+    seed_all(2333)  # explicit argument beats the env override
+    c = np.random.rand()
+    assert a == c and a != b

@@ -49,6 +49,11 @@ def main():
     ap.add_argument('--iou-thresh', type=float, default=0.90)
     ap.add_argument('--stability-thresh', type=float, default=0.95)
     ap.add_argument('--area-threshold', type=int, default=1024)
+    ap.add_argument('--auto-thresh', action='store_true',
+                    help='after measuring the score distributions, set the '
+                         'region-pass thresholds at the pooled medians so '
+                         'roughly half the candidates pass — makes the '
+                         'region comparison non-vacuous on random init')
     args = ap.parse_args()
 
     import jax
@@ -95,7 +100,7 @@ def main():
     grid = build_point_grid(args.points_per_side)
     pts = (grid * np.array([nw, nh], np.float32)).astype(np.float32)
     pb = args.points_per_batch
-    deltas, flips, n_cand = [], 0, 0
+    all_f, all_e, all_iou = [], [], []
     dec_fast = gen_fast._decode_fn()
     dec_exact = gen_exact._decode_fn((nh, nw, h, w))
     for t in tiles:
@@ -103,23 +108,42 @@ def main():
                                     pre(jnp.asarray(t)))
         for lo in range(0, len(pts) - pb + 1, pb):
             chunk = jnp.asarray(pts[lo:lo + pb])
-            _, _, st_f = dec_fast(gen_fast.variables, emb, chunk)
+            _, iou_f, st_f = dec_fast(gen_fast.variables, emb, chunk)
             _, _, st_e = dec_exact(gen_exact.variables, emb, chunk)
-            st_f = np.asarray(st_f).ravel()
-            st_e = np.asarray(st_e).ravel()
-            deltas.append(st_f - st_e)
-            thr = args.stability_thresh
-            flips += int(((st_f >= thr) != (st_e >= thr)).sum())
-            n_cand += st_f.size
-    deltas = np.concatenate(deltas)
+            all_f.append(np.asarray(st_f).ravel())
+            all_e.append(np.asarray(st_e).ravel())
+            all_iou.append(np.asarray(iou_f).ravel())
+    st_f = np.concatenate(all_f)
+    st_e = np.concatenate(all_e)
+    iou_f = np.concatenate(all_iou)
+    deltas = st_f - st_e
+    n_cand = int(st_f.size)
+    thr = args.stability_thresh
+    flips = int(((st_f >= thr) != (st_e >= thr)).sum())
+    med = float(np.median(st_f))
+    flips_med = int(((st_f >= med) != (st_e >= med)).sum())
+    pct = lambda a: {f'p{q}': float(np.percentile(a, q))
+                     for q in (5, 25, 50, 75, 95)}
     report['stability_delta'] = {
-        'n_candidates': int(n_cand),
+        'n_candidates': n_cand,
         'mean_abs': float(np.abs(deltas).mean()),
         'p95_abs': float(np.percentile(np.abs(deltas), 95)),
         'max_abs': float(np.abs(deltas).max()),
-        'decision_flips_at_0.95': int(flips),
+        f'decision_flips_at_{thr}': flips,
         'flip_rate': float(flips / max(n_cand, 1)),
+        'decision_flips_at_median': flips_med,
+        'flip_rate_at_median': float(flips_med / max(n_cand, 1)),
+        'score_dist_fast': pct(st_f),
+        'score_dist_exact': pct(st_e),
+        'iou_dist': pct(iou_f),
     }
+    if args.auto_thresh:
+        args.stability_thresh = med
+        args.iou_thresh = float(np.median(iou_f))
+        report['auto_thresholds'] = {'iou': args.iou_thresh,
+                                     'stability': args.stability_thresh}
+        kwargs['pred_iou_thresh'] = args.iou_thresh
+        kwargs['stability_score_thresh'] = args.stability_thresh
 
     # ---- 2. region-map divergence, crop 0 and 1 ------------------------
     for layers in (0, 1):

@@ -67,5 +67,5 @@ def main():
 
 
 if __name__ == '__main__':
-    seed_all(2333)
+    seed_all()
     main()

@@ -60,6 +60,11 @@ def main():
     ap.add_argument('--start-at', default='src',
                     choices=['src', 'align', 'align-ablations', 'ssl'],
                     help='skip stages already completed in the workspace')
+    ap.add_argument('--lrh-seeds', type=int, default=0,
+                    help='instead of the pipeline, rerun the stage-2 '
+                         'full-vs-no-LRH pair for N seeds (from the '
+                         'existing stage-1 checkpoint) and append a '
+                         'seed-variance section to PARITY.md')
     args = ap.parse_args()
 
     root = os.environ.get('REGDA_PARITY_ROOT', '/tmp/regda_parity_smoke')
@@ -78,6 +83,61 @@ def main():
     src_log = os.path.join(root, 'log')
     order = ['src', 'align', 'align-ablations', 'ssl']
     at = order.index(args.start_at)
+
+    if args.lrh_seeds:
+        # seed-variance study: the LRH delta on the tiny synthetic val set
+        # sits at noise level for a single seed (the 200- vs 600-step
+        # tables disagreed on its SIGN), so rerun the pair per seed
+        s2_common = ['--ckpt-model', f'{src_log}/src/Vaihingen_best.ckpt',
+                     '--ckpt-proto', f'{src_log}/src/prototypes_best.ckpt',
+                     '--align-domain', '1']
+        deltas, pairs = [], []
+        for seed in range(args.lrh_seeds):
+            env_s = dict(env)
+            env_s['REGDA_SEED'] = str(2333 + 101 * seed)
+            run_stage('train_align_reg.py', s2_common + [
+                '--refine-label', '1', '--sam-refine', '--percent', '0.5'],
+                f'-s{seed}', env_s, s)
+            run_stage('train_align_reg.py',
+                      s2_common + ['--refine-label', '1'],
+                      f'-s{seed}-nolrh', env_s, s)
+            full, _ = read_miou(root, f'-s{seed}', 'align')
+            nolrh, _ = read_miou(root, f'-s{seed}-nolrh', 'align')
+            pairs.append((full, nolrh))
+            deltas.append(full - nolrh)
+            print(f'seed {seed}: full={full:.4f} no-lrh={nolrh:.4f} '
+                  f'delta={full - nolrh:+.4f}', flush=True)
+        import numpy as np
+        d = np.asarray(deltas)
+        section = [
+            '', '## LRH ablation, seed variance',
+            '',
+            f'Stage-2 full vs no-LRH over {len(d)} seeds '
+            f'(steps={s}, same stage-1 checkpoint):',
+            '',
+            '| seed | full | no-LRH | delta |', '|---|---|---|---|',
+        ] + [f'| {i} | {f_:.4f} | {n:.4f} | {f_ - n:+.4f} |'
+             for i, (f_, n) in enumerate(pairs)] + [
+            '',
+            f'- mean delta **{d.mean():+.4f}**, std {d.std():.4f} — on '
+            'this 64px synthetic set the LRH effect is within seed noise; '
+            'the reference demonstrates it on real ISPRS data '
+            '(unavailable here).',
+            '',
+            f'Reproduce: `python tools/run_parity.py --lrh-seeds '
+            f'{len(d)} --steps {s} --start-at align`.',
+            '',
+        ]
+        path = os.path.join(REPO, 'PARITY.md')
+        with open(path) as f:
+            body = f.read()
+        marker = '\n## LRH ablation, seed variance'
+        if marker in body:
+            body = body[:body.index(marker)]
+        with open(path, 'w') as f:
+            f.write(body.rstrip('\n') + '\n' + '\n'.join(section))
+        print('\n'.join(section))
+        return
 
     # ---- stage 1: source-supervised --------------------------------------
     if at <= 0:

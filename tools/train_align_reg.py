@@ -24,7 +24,8 @@ from regda_tpu.train import create_train_state, make_optimizer
 from regda_tpu.train.loop import Trainer
 from regda_tpu.train.steps import make_stage2_step
 from regda_tpu.utils.checkpoint import load_prototypes, load_pytree
-from regda_tpu.utils.tools import (get_console_file_logger, import_config,
+from regda_tpu.utils.tools import (default_seed,
+                                   get_console_file_logger, import_config,
                                    logging_args, logging_cfg, seed_all,
                                    str2bool)
 
@@ -67,7 +68,7 @@ def main():
     tx = make_optimizer(cfg.LEARNING_RATE, stop_steps, momentum=cfg.MOMENTUM,
                         weight_decay=cfg.WEIGHT_DECAY, power=cfg.POWER)
     variables = load_pytree(args.ckpt_model)
-    state = create_train_state(model, tx, jax.random.PRNGKey(2333),
+    state = create_train_state(model, tx, jax.random.PRNGKey(default_seed()),
                                num_classes=meta.num_classes,
                                variables=variables)
     protos = jnp.asarray(load_prototypes(args.ckpt_proto))
@@ -120,5 +121,5 @@ def main():
 
 
 if __name__ == '__main__':
-    seed_all(2333)
+    seed_all()
     main()

@@ -18,7 +18,8 @@ from regda_tpu.models import build_deeplabv2
 from regda_tpu.train import create_train_state, make_optimizer
 from regda_tpu.train.loop import Trainer
 from regda_tpu.train.steps import make_stage1_step
-from regda_tpu.utils.tools import (get_console_file_logger, import_config,
+from regda_tpu.utils.tools import (default_seed,
+                                   get_console_file_logger, import_config,
                                    logging_args, logging_cfg, seed_all,
                                    str2bool, count_model_parameters)
 
@@ -62,7 +63,7 @@ def main():
     crop = getattr(cfg, 'CROP_SIZE', 512)
     size = meta.size if cfg.SOURCE_DATA_CONFIG.get('transforms') is None \
         else (crop, crop)
-    state = create_train_state(model, tx, jax.random.PRNGKey(2333),
+    state = create_train_state(model, tx, jax.random.PRNGKey(default_seed()),
                                input_shape=(1, *size, 3),
                                num_classes=meta.num_classes,
                                variables=variables)
@@ -101,5 +102,5 @@ def main():
 
 
 if __name__ == '__main__':
-    seed_all(2333)
+    seed_all()
     main()
