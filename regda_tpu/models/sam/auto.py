@@ -89,11 +89,13 @@ class Sam(nn.Module):
     def decode_points_fast(self, image_embedding, points, labels,
                            factored: bool = False,
                            fused_upscale: bool = True,
-                           mask_dtype=None):
+                           mask_dtype=None, iou_gate_thresh=None):
         """decode_points through the pure-function fast decoder (same
         parameters, same math — see factored_decoder.py): optionally the
         low-rank factored key state, and the Pallas fused
-        upscale+hypernetwork mask head (pallas_upscale.py)."""
+        upscale+hypernetwork mask head (pallas_upscale.py).
+        iou_gate_thresh: mono-path in-kernel IoU gate (everything-mode
+        exact; failing prompts return zero masks)."""
         from regda_tpu.models.sam.factored_decoder import mask_decoder_fast
         sparse, dense = self.prompt_encoder(points, labels)
         image_pe = self.prompt_encoder.get_dense_pe()
@@ -102,7 +104,8 @@ class Sam(nn.Module):
                                  sparse, dense[:1], multimask_output=True,
                                  dtype=self.dtype, factored=factored,
                                  fused_upscale=fused_upscale,
-                                 mask_dtype=mask_dtype)
+                                 mask_dtype=mask_dtype,
+                                 iou_gate_thresh=iou_gate_thresh)
 
     def decode_points_factored(self, image_embedding, points, labels):
         """decode_points through the low-rank factored decoder (same
@@ -270,10 +273,18 @@ class SamAutomaticMaskGenerator:
         exact = self.stability_on_upscaled and key_hw is not None
         key = ('decode', key_hw if exact else None)
         if key not in self._jits:
+            import os as _os
             off = self.stability_score_offset
             dt = self.compute_dtype
             factored = self.factored_decoder
             fused = self.fused_upscale
+            # in-kernel IoU gate (REGDA_MONO_IOU_GATE, needs the mono
+            # decode): candidates this filter is about to drop by
+            # pred_iou_thresh skip their mask-head GEMMs inside the kernel
+            gate = (float(self.pred_iou_thresh)
+                    if _os.environ.get('REGDA_MONO_IOU_GATE')
+                    and _os.environ.get('REGDA_MONO_DECODE')
+                    and not _os.environ.get('REGDA_NO_MONO') else None)
 
             def dec(variables, embedding, points):
                 """points: (P, 2) input-res xy -> per-mask scalars + logits."""
@@ -286,6 +297,7 @@ class SamAutomaticMaskGenerator:
                 # insensitive to bf16 rounding)
                 masks, iou = self.model.apply(
                     variables, embedding, pts, lbs, factored, fused, dt,
+                    iou_gate_thresh=gate,
                     method=self.model.decode_points_fast)
                 # (P, 3, 256, 256), (P, 3)
                 if exact:

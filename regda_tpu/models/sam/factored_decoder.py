@@ -594,11 +594,15 @@ def two_way_transformer_fused2(params, image_embedding, image_pe,
 
 def mask_decoder_mono(params, image_embedding, image_pe, point_embedding,
                       num_heads=8, dtype=jnp.float32,
-                      mask_dtype=jnp.float32, interpret=None):
+                      mask_dtype=jnp.float32, interpret=None,
+                      iou_gate_thresh=None):
     """Monolithic decode: two-way transformer + hypernetwork MLPs + mask
     head in ONE Pallas program per prompt (pallas_monodecode.py) — the
     per-prompt key state never leaves VMEM. Returns (queries (B, n, C),
-    masks (B, 3, 4H, 4W)). params: the full MaskDecoder param tree."""
+    masks (B, 3, 4H, 4W)). params: the full MaskDecoder param tree.
+
+    iou_gate_thresh: enable the in-kernel IoU gate (inference-only;
+    see pallas_monodecode.mono_decode) at pred_iou_thresh."""
     from regda_tpu.models.sam.pallas_monodecode import mono_decode
     from regda_tpu.models.sam.pallas_upscale import (
         upscale_params_from_decoder)
@@ -612,8 +616,15 @@ def mask_decoder_mono(params, image_embedding, image_pe, point_embedding,
          params[f'hyper_mlp{m}']['lin2']['kernel'],
          params[f'hyper_mlp{m}']['lin2']['bias']) for m in (1, 2, 3))
     up_w = upscale_params_from_decoder(params, dtype)
+    iou_w = None
+    if iou_gate_thresh is not None:
+        ih = params['iou_prediction_head']
+        iou_w = (ih['lin0']['kernel'], ih['lin0']['bias'],
+                 ih['lin1']['kernel'], ih['lin1']['bias'],
+                 ih['lin2']['kernel'], ih['lin2']['bias'])
     masks, qout = mono_decode(operands, hyper_w, up_w, num_heads,
-                              out_dtype=mask_dtype, interpret=interpret)
+                              out_dtype=mask_dtype, interpret=interpret,
+                              iou_w=iou_w, iou_thresh=iou_gate_thresh)
     return qout[:, :n], masks
 
 
@@ -687,7 +698,8 @@ def mask_decoder_fast(params, image_embeddings, image_pe, sparse_prompt,
                       dense_prompt, multimask_output=True,
                       num_multimask_outputs=3, num_heads=8,
                       dtype=jnp.float32, factored=True,
-                      fused_upscale=False, mask_dtype=None):
+                      fused_upscale=False, mask_dtype=None,
+                      iou_gate_thresh=None):
     """Pure-function twin of decoder.MaskDecoder.__call__ (same param tree)
     with selectable fast paths:
 
@@ -695,6 +707,10 @@ def mask_decoder_fast(params, image_embeddings, image_pe, sparse_prompt,
       (two_way_transformer_factored) vs the stock materialized form.
     - fused_upscale: the Pallas fused upscale+hypernetwork kernel
       (pallas_upscale.py) vs flat GEMMs.
+    - iou_gate_thresh (mono path only): in-kernel IoU gate — prompts whose
+      best predicted IoU fails pred_iou_thresh skip the mask head and
+      return zero masks (output-identical for everything-mode consumers,
+      which drop those candidates anyway; inference-only).
 
     image_embeddings / dense_prompt must be batch-1 (shared across the B
     sparse prompts) — exactly the everything-mode point-prompt setting.
@@ -721,7 +737,8 @@ def mask_decoder_fast(params, image_embeddings, image_pe, sparse_prompt,
         # state never leaves VMEM between the transformer and mask head
         hs, masks = mask_decoder_mono(
             params, src_shared, pe4, tokens, num_heads=num_heads,
-            dtype=dtype, mask_dtype=mask_dtype or jnp.float32)
+            dtype=dtype, mask_dtype=mask_dtype or jnp.float32,
+            iou_gate_thresh=iou_gate_thresh)
         iou_pred = _mlp(params['iou_prediction_head'], hs[:, 0], 3,
                         jnp.float32)
         return masks, iou_pred[:, 1:]

@@ -47,17 +47,25 @@ from regda_tpu.models.sam.pallas_upscale import (_gelu_exact, _interleave,
 
 M_SEL = 3          # multimask: masks 1..3 (mask 0 is never returned)
 PIX = 1024         # mask-head row-block size (bounds VMEM)
+# in-kernel IoU-gate slack: the gate recomputes the iou head from the f32
+# qfin while the caller's filter runs the same MLP in XLA from the
+# dt-rounded qout — skip only prompts that fail by more than the combined
+# rounding so the output mask SET is exactly the ungated one
+GATE_MARGIN = 0.05
 
 
 def _kernel(*refs, num_heads: int, head_dim: int, ln_dt: bool,
-            c4: int, c8: int, pp: int = 1):
+            c4: int, c8: int, pp: int = 1, iou_thresh=None):
     (ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
      keys0_ref, pe_ref, qimg0_ref,
      colmask_ref, rowmask_ref, maskb_ref) = refs[:10]
     wrefs = refs[10:10 + len(WKEYS)]
+    n_mask_ops = 13
+    lo = 10 + len(WKEYS)
     (k1_ref, b1_ref, pool_ref, lnw_ref, lnb_ref, k2bd_ref, b2t_ref,
      hybd0_ref, hyb0_ref, hybd1_ref, hyb1_ref, hybd2_ref, hyb2_ref) = \
-        refs[10 + len(WKEYS):-2]
+        refs[lo:lo + n_mask_ops]
+    iou_refs = refs[lo + n_mask_ops:-2] if iou_thresh is not None else None
     masks_out_ref, qout_ref = refs[-2:]
 
     # pp prompts per program: their chains are fully independent, so the
@@ -71,7 +79,7 @@ def _kernel(*refs, num_heads: int, head_dim: int, ln_dt: bool,
                   k2bd_ref, b2t_ref, hybd0_ref, hyb0_ref, hybd1_ref,
                   hyb1_ref, hybd2_ref, hyb2_ref, masks_out_ref, qout_ref,
                   num_heads=num_heads, head_dim=head_dim, ln_dt=ln_dt,
-                  c4=c4, c8=c8)
+                  c4=c4, c8=c8, iou_refs=iou_refs, iou_thresh=iou_thresh)
 
 
 def _mono_one(j, ktok0_ref, vtok0_ref, q1_ref, qpe_ref, keys0_ref,
@@ -80,7 +88,7 @@ def _mono_one(j, ktok0_ref, vtok0_ref, q1_ref, qpe_ref, keys0_ref,
               k2bd_ref, b2t_ref, hybd0_ref, hyb0_ref, hybd1_ref,
               hyb1_ref, hybd2_ref, hyb2_ref, masks_out_ref, qout_ref,
               *, num_heads: int, head_dim: int, ln_dt: bool,
-              c4: int, c8: int):
+              c4: int, c8: int, iou_refs=None, iou_thresh=None):
     f32 = jnp.float32
     dt = keys0_ref.dtype
     keys2, qfin = _twoway_body(
@@ -88,6 +96,59 @@ def _mono_one(j, ktok0_ref, vtok0_ref, q1_ref, qpe_ref, keys0_ref,
         qimg0_ref, colmask_ref, rowmask_ref, maskb_ref, wrefs,
         num_heads=num_heads, head_dim=head_dim, ln_dt=ln_dt, row=j)
     qout_ref[j] = qfin.astype(dt)
+
+    if iou_thresh is not None:
+        # ---- in-kernel IoU gate: everything-mode drops every candidate
+        # whose predicted IoU fails pred_iou_thresh BEFORE stability is
+        # even consulted (upstream SamAutomaticMaskGenerator order, the
+        # caller's filter at auto.py _decode_all_fn), so the mask head —
+        # the (T, C) GEMM chain below — is dead work for those prompts.
+        # Run the tiny iou head here on the iou token (qfin row 0) and
+        # skip the chain when ALL THREE returned masks fail by more than
+        # GATE_MARGIN; their output block is zeroed (stability reads 0/0
+        # -> 0, and the caller's ok is already False from its own iou).
+        (iw0_ref, ib0_ref, iw1_ref, ib1_ref, iw2_ref, ib2_ref) = iou_refs
+        row_iota0 = jax.lax.broadcasted_iota(jnp.int32, (1, NP), 1)
+        sel0 = (row_iota0 == 0).astype(dt)
+        xq = jnp.dot(sel0, qfin.astype(dt),
+                     preferred_element_type=f32)            # (1, C)
+        xq = jax.nn.relu(jnp.dot(xq.astype(dt), iw0_ref[...],
+                                 preferred_element_type=f32)
+                         + ib0_ref[0][None, :])
+        xq = jax.nn.relu(jnp.dot(xq.astype(dt), iw1_ref[...],
+                                 preferred_element_type=f32)
+                         + ib1_ref[0][None, :])
+        xq = (jnp.dot(xq.astype(dt), iw2_ref[...],
+                      preferred_element_type=f32)
+              + ib2_ref[0][None, :])                        # (1, 128 pad)
+        lane = jax.lax.broadcasted_iota(jnp.int32, xq.shape, 1)
+        # multimask returns masks 1..3 (iou-head lanes 1..3)
+        iou3 = jnp.where((lane >= 1) & (lane <= M_SEL), xq, -1e30)
+        gate = jnp.max(iou3) > (iou_thresh - GATE_MARGIN)
+
+        @pl.when(gate)
+        def _run_head():
+            _mask_head(j, keys2, qfin, k1_ref, b1_ref, pool_ref, lnw_ref,
+                       lnb_ref, k2bd_ref, b2t_ref, hybd0_ref, hyb0_ref,
+                       hybd1_ref, hyb1_ref, hybd2_ref, hyb2_ref,
+                       masks_out_ref, c4=c4, c8=c8)
+
+        @pl.when(jnp.logical_not(gate))
+        def _zero_out():
+            masks_out_ref[j] = jnp.zeros(masks_out_ref.shape[1:],
+                                         masks_out_ref.dtype)
+        return
+
+    _mask_head(j, keys2, qfin, k1_ref, b1_ref, pool_ref, lnw_ref, lnb_ref,
+               k2bd_ref, b2t_ref, hybd0_ref, hyb0_ref, hybd1_ref, hyb1_ref,
+               hybd2_ref, hyb2_ref, masks_out_ref, c4=c4, c8=c8)
+
+
+def _mask_head(j, keys2, qfin, k1_ref, b1_ref, pool_ref, lnw_ref, lnb_ref,
+               k2bd_ref, b2t_ref, hybd0_ref, hyb0_ref, hybd1_ref, hyb1_ref,
+               hybd2_ref, hyb2_ref, masks_out_ref, *, c4: int, c8: int):
+    f32 = jnp.float32
+    dt = keys2.dtype
 
     # ---- hypernetwork MLPs on the mask tokens (rows 2..4 of qfin: row 0
     # is the iou token, rows 1..4 the mask tokens, and multimask returns
@@ -223,9 +284,11 @@ _mono_cvjp.defvjp(_mono_fwd, _mono_bwd)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('num_heads', 'out_dtype', 'interpret'))
+                   static_argnames=('num_heads', 'out_dtype', 'interpret',
+                                    'iou_thresh'))
 def _mono_fwd_impl(allops, num_heads: int = 8, out_dtype=jnp.float32,
-                   interpret: bool | None = None):
+                   interpret: bool | None = None, iou_w=None,
+                   iou_thresh: float | None = None):
     operands, hyper_w, up_w = allops
     (ktok0, vtok0, q1, qpe, keys0, pe, qimg0, maskb, w) = operands
     if interpret is None:
@@ -285,6 +348,16 @@ def _mono_fwd_impl(allops, num_heads: int = 8, out_dtype=jnp.float32,
                 k2bd, b2_t]
     for wbd, bbd in _hyper_blockdiag(hyper_w, dt):
         mask_ops += [wbd, bbd]
+    if iou_thresh is not None:
+        # iou head (lin0/lin1 (C, C), lin2 (C, 4)): lin2 lane-padded to
+        # 128 so the (1, C) x (C, 4) tail tiles cleanly; the gate only
+        # reads lanes 1..3
+        iw0, ib0, iw1, ib1, iw2, ib2 = iou_w
+        pad = 128 - iw2.shape[1]
+        iw2p = jnp.pad(iw2.astype(dt), ((0, 0), (0, pad)))
+        ib2p = jnp.pad(ib2.astype(f32), (0, pad))[None]
+        mask_ops += [iw0.astype(dt), ib0.astype(f32)[None],
+                     iw1.astype(dt), ib1.astype(f32)[None], iw2p, ib2p]
     mask_specs = [const(x.shape) for x in mask_ops]
 
     operands_flat = ([ktok0.astype(dt), vtok0.astype(dt), q1.astype(dt),
@@ -307,7 +380,8 @@ def _mono_fwd_impl(allops, num_heads: int = 8, out_dtype=jnp.float32,
     ln_dt = os.environ.get('REGDA_TWOWAY_LN_DT', '0') == '1'
     blocked, qout = pl.pallas_call(
         functools.partial(_kernel, num_heads=num_heads, head_dim=hd,
-                          ln_dt=ln_dt, c4=c4, c8=c8, pp=pp),
+                          ln_dt=ln_dt, c4=c4, c8=c8, pp=pp,
+                          iou_thresh=iou_thresh),
         out_shape=out_shapes,
         grid=(b // pp,),
         in_specs=in_specs,
@@ -322,7 +396,8 @@ def _mono_fwd_impl(allops, num_heads: int = 8, out_dtype=jnp.float32,
 
 
 def mono_decode(operands, hyper_w, up_w, num_heads: int = 8,
-                out_dtype=jnp.float32, interpret: bool | None = None):
+                out_dtype=jnp.float32, interpret: bool | None = None,
+                iou_w=None, iou_thresh: float | None = None):
     """Monolithic per-prompt SAM decode.
 
     operands: the two_way_fused tuple (ktok0, vtok0, q1, qpe, keys0, pe,
@@ -330,6 +405,19 @@ def mono_decode(operands, hyper_w, up_w, num_heads: int = 8,
     b2) — the hyper_mlp{1,2,3} parameters. up_w: flattened upscale params
     (upscale_params_from_decoder format). Returns (masks (B, 3, 4H, 4W)
     out_dtype, queries_out (B, NP, C)). Differentiable via the VJP of the
-    composed stock twin."""
+    composed stock twin.
+
+    iou_w + iou_thresh (the iou_prediction_head lin0..lin2 params and
+    pred_iou_thresh) enable the in-kernel IoU gate: prompts whose best
+    predicted mask IoU falls below iou_thresh - GATE_MARGIN skip the mask
+    head and return ZERO mask blocks. Output-identical for everything-mode
+    consumers (those candidates are discarded by the caller's own
+    iou filter before stability matters — auto.py _decode_all_fn /
+    upstream SamAutomaticMaskGenerator order), but NOT the full stock
+    function, so the gated path is inference-only (no custom VJP)."""
+    if iou_thresh is not None:
+        return _mono_fwd_impl((operands, hyper_w, up_w), num_heads,
+                              out_dtype, interpret, iou_w=iou_w,
+                              iou_thresh=float(iou_thresh))
     return _mono_cvjp((operands, hyper_w, up_w), num_heads, out_dtype,
                       interpret)

@@ -924,3 +924,59 @@ def test_mask_stats_fused_active_vmapped():
                                       np.asarray(bf)[idx])
         np.testing.assert_array_equal(np.asarray(av[p])[idx],
                                       np.asarray(af)[idx])
+
+
+def test_mono_decode_iou_gate(monkeypatch):
+    """The in-kernel IoU gate (pallas_monodecode GATE_MARGIN): prompts
+    whose best predicted IoU clearly fails the threshold return ZERO mask
+    blocks (skipping the mask-head GEMMs); every other prompt matches the
+    ungated kernel exactly, and the iou output is untouched. Exactness
+    contract: everything-mode drops iou-failing candidates before masks
+    matter (auto.py _decode_all_fn, upstream SamAutomaticMaskGenerator
+    order)."""
+    from regda_tpu.models.sam.decoder import MaskDecoder
+    from regda_tpu.models.sam.factored_decoder import mask_decoder_fast
+    from regda_tpu.models.sam.pallas_monodecode import GATE_MARGIN
+
+    dec = MaskDecoder(dtype=jnp.float32)
+    emb = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 256)) * 0.5
+    pe = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 256)) * 0.5
+    sparse = jax.random.normal(jax.random.PRNGKey(3), (6, 2, 256)) * 0.5
+    dense = jax.random.normal(jax.random.PRNGKey(4), (1, 8, 8, 256)) * 0.5
+    params = dec.init(jax.random.PRNGKey(0), emb, pe, sparse,
+                      dense)['params']
+    monkeypatch.setenv('REGDA_MONO_DECODE', '1')
+
+    m0, i0 = mask_decoder_fast(params, emb, pe[0], sparse, dense,
+                               fused_upscale=True, factored=False)
+    m0, i0 = np.asarray(m0), np.asarray(i0)
+
+    # all-pass and all-fail gates bracket the behavior
+    m_pass, i_pass = mask_decoder_fast(params, emb, pe[0], sparse, dense,
+                                       fused_upscale=True, factored=False,
+                                       iou_gate_thresh=-1e9)
+    np.testing.assert_allclose(np.asarray(m_pass), m0, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(i_pass), i0, rtol=2e-4, atol=2e-4)
+    m_fail, i_fail = mask_decoder_fast(params, emb, pe[0], sparse, dense,
+                                       fused_upscale=True, factored=False,
+                                       iou_gate_thresh=1e9)
+    assert np.abs(np.asarray(m_fail)).max() == 0.0
+    np.testing.assert_allclose(np.asarray(i_fail), i0, rtol=2e-4, atol=2e-4)
+
+    # mid threshold: each row is either the ungated result or (only when
+    # its best iou is below threshold) all zero
+    thr = float(np.median(i0.max(1)))
+    m_mid, _ = mask_decoder_fast(params, emb, pe[0], sparse, dense,
+                                 fused_upscale=True, factored=False,
+                                 iou_gate_thresh=thr)
+    m_mid = np.asarray(m_mid)
+    zeroed = 0
+    for r in range(m_mid.shape[0]):
+        if np.abs(m_mid[r]).max() == 0.0:
+            assert i0[r].max() < thr  # never zero a candidate that passes
+            zeroed += 1
+        else:
+            np.testing.assert_allclose(m_mid[r], m0[r], rtol=2e-4,
+                                       atol=2e-4)
+    # the gate must skip only clear failures
+    assert zeroed <= int((i0.max(1) <= thr - GATE_MARGIN).sum())

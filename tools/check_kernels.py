@@ -225,6 +225,22 @@ def main():
     check('mono_decode queries', np.asarray(qmg)[:, :7],
           np.asarray(qmw)[:, :7], rtol, atol)
 
+    # ---- 8. mono decode with the in-kernel IoU gate (all-pass == ungated;
+    # all-fail == zero masks with queries intact) ------------------------
+    iou_w = (arr(c2, c2, scale=0.1), arr(c2, scale=0.1),
+             arr(c2, c2, scale=0.1), arr(c2, scale=0.1),
+             arr(c2, 4, scale=0.1), arr(4, scale=0.1))
+    mgp, qgp = mono_decode(ops, hyper_w, up_w, interpret=not on_tpu,
+                           iou_w=iou_w, iou_thresh=-1e9)
+    check('mono_decode iou-gate all-pass masks', mgp, np.asarray(mg),
+          rtol, max(atol, 5e-2))
+    mgf, qgf = mono_decode(ops, hyper_w, up_w, interpret=not on_tpu,
+                           iou_w=iou_w, iou_thresh=1e9)
+    check('mono_decode iou-gate all-fail masks', mgf,
+          np.zeros_like(np.asarray(mg)), 0.0, 1e-12)
+    check('mono_decode iou-gate queries', np.asarray(qgf)[:, :7],
+          np.asarray(qmg)[:, :7], rtol, atol)
+
     n_fail = sum(1 for _, ok, _ in RESULTS if not ok)
     print(f'\n{len(RESULTS) - n_fail}/{len(RESULTS)} kernel checks passed '
           f'on {backend} ({args.dtype})')
