@@ -278,13 +278,14 @@ class SamAutomaticMaskGenerator:
             dt = self.compute_dtype
             factored = self.factored_decoder
             fused = self.fused_upscale
-            # in-kernel IoU gate (REGDA_MONO_IOU_GATE, needs the mono
-            # decode): candidates this filter is about to drop by
-            # pred_iou_thresh skip their mask-head GEMMs inside the kernel
+            # per-prompt IoU gate (REGDA_SAM_IOU_GATE): candidates the
+            # downstream filter is about to drop by pred_iou_thresh skip
+            # their mask-head GEMMs inside whichever decode kernel is
+            # active (mono: in-kernel iou head; two-step: exact XLA iou
+            # fed to the upscale kernel's active flags)
             gate = (float(self.pred_iou_thresh)
-                    if _os.environ.get('REGDA_MONO_IOU_GATE')
-                    and _os.environ.get('REGDA_MONO_DECODE')
-                    and not _os.environ.get('REGDA_NO_MONO') else None)
+                    if _os.environ.get('REGDA_SAM_IOU_GATE')
+                    or _os.environ.get('REGDA_MONO_IOU_GATE') else None)
 
             def dec(variables, embedding, points):
                 """points: (P, 2) input-res xy -> per-mask scalars + logits."""

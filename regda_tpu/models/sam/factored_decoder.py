@@ -707,10 +707,13 @@ def mask_decoder_fast(params, image_embeddings, image_pe, sparse_prompt,
       (two_way_transformer_factored) vs the stock materialized form.
     - fused_upscale: the Pallas fused upscale+hypernetwork kernel
       (pallas_upscale.py) vs flat GEMMs.
-    - iou_gate_thresh (mono path only): in-kernel IoU gate — prompts whose
-      best predicted IoU fails pred_iou_thresh skip the mask head and
-      return zero masks (output-identical for everything-mode consumers,
-      which drop those candidates anyway; inference-only).
+    - iou_gate_thresh: per-prompt IoU gate — prompts whose every returned
+      IoU fails pred_iou_thresh skip the mask head and return zero masks
+      (output-identical for everything-mode consumers, which drop those
+      candidates anyway; inference-only). The mono kernel recomputes the
+      IoU head in-kernel (0.05 rounding margin); the two-step fused path
+      hoists the exact XLA iou head ahead of the mask head and feeds it
+      to the upscale kernel's active flags (no margin).
 
     image_embeddings / dense_prompt must be batch-1 (shared across the B
     sparse prompts) — exactly the everything-mode point-prompt setting.
@@ -778,12 +781,25 @@ def mask_decoder_fast(params, image_embeddings, image_pe, sparse_prompt,
         for i in sel], axis=1)
     src = jnp.broadcast_to(src, (b, *src.shape[1:])).reshape(b, h, w, c)
     mask_dtype = mask_dtype or jnp.float32
+    # iou head depends only on the transformer output — computed BEFORE
+    # the mask head so the IoU gate below can reuse the EXACT array the
+    # caller filters on (no rounding margin needed, unlike the mono
+    # kernel's in-kernel recompute)
+    iou_pred = _mlp(params['iou_prediction_head'], iou_token_out, 3,
+                    jnp.float32)
     if fused_upscale:
         from regda_tpu.models.sam.pallas_upscale import (
             upscale_hyper_masks, upscale_params_from_decoder)
         k1, b1, lnw, lnb, k2, b2 = upscale_params_from_decoder(params, dtype)
+        active = None
+        if iou_gate_thresh is not None and multimask_output:
+            # skip prompts whose EVERY returned mask fails pred_iou_thresh
+            # — identical output set: the caller drops those candidates by
+            # this same iou_pred before masks matter (auto.py
+            # _decode_all_fn `iou > t_iou`); skipped prompts return zeros
+            active = jnp.any(iou_pred[:, 1:] > iou_gate_thresh, axis=1)
         masks = upscale_hyper_masks(src, hyper_in, k1, b1, lnw, lnb, k2, b2,
-                                    out_dtype=mask_dtype)
+                                    out_dtype=mask_dtype, active=active)
     else:
         c4, c8 = c // 4, c // 8
         m_sel = len(sel)
@@ -800,8 +816,6 @@ def mask_decoder_fast(params, image_embeddings, image_pe, sparse_prompt,
         masks = masks.transpose(0, 1, 2, 4, 6, 3, 5, 7)
         masks = masks.reshape(b, m_sel, 4 * h, 4 * w)
         masks = masks.astype(mask_dtype)
-    iou_pred = _mlp(params['iou_prediction_head'], iou_token_out, 3,
-                    jnp.float32)
     if multimask_output:
         return masks, iou_pred[:, 1:]
     return masks, iou_pred[:, :1]

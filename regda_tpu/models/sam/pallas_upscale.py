@@ -60,8 +60,24 @@ def _gelu_exact(x):
     return (0.5 * xf * (1.0 + _erf(xf * (2.0 ** -0.5)))).astype(x.dtype)
 
 
-def _kernel(src_ref, k1_ref, b1_ref, m_ref, lnw_ref, lnb_ref,
+def _kernel(active_ref, src_ref, k1_ref, b1_ref, m_ref, lnw_ref, lnb_ref,
             k2bd_ref, b2_ref, hbd_ref, out_ref):
+    # per-prompt gate (everything-mode IoU prefilter): skipped prompts
+    # write ZERO blocks — the caller's candidate selection runs a one-hot
+    # matmul over ALL rows, so garbage (unlike the stats kernel's) would
+    # propagate through the 0-weighted lanes if it held NaN
+    @pl.when(active_ref[0] != 0)
+    def _():
+        _upscale_body(src_ref, k1_ref, b1_ref, m_ref, lnw_ref, lnb_ref,
+                      k2bd_ref, b2_ref, hbd_ref, out_ref)
+
+    @pl.when(active_ref[0] == 0)
+    def _():
+        out_ref[0] = jnp.zeros(out_ref.shape[1:], out_ref.dtype)
+
+
+def _upscale_body(src_ref, k1_ref, b1_ref, m_ref, lnw_ref, lnb_ref,
+                  k2bd_ref, b2_ref, hbd_ref, out_ref):
     f32 = jnp.float32
     dt = k1_ref.dtype
     x = src_ref[0]                                       # (P, C)
@@ -152,7 +168,7 @@ _upscale_cvjp.defvjp(_upscale_fwd, _upscale_bwd)
 
 def upscale_hyper_masks(src, hyper_in, k1, b1, lnw, lnb, k2, b2,
                         out_dtype=jnp.float32,
-                        interpret: bool | None = None):
+                        interpret: bool | None = None, active=None):
     """Fused mask head: src (B, H, W, C) + hyper_in (B, M, C//8) ->
     masks (B, M, 4H, 4W).
 
@@ -160,7 +176,16 @@ def upscale_hyper_masks(src, hyper_in, k1, b1, lnw, lnb, k2, b2,
     kernels (block order (dy, dx, f)); b1/b2 the 4x-tiled biases; lnw/lnb
     the LayerNorm2d affine over C//4. Differentiable: backward is the VJP
     of the exact-gelu stock twin (_upscale_stock).
+
+    active: optional (B,) bool/int — prompts with active=False skip the
+    GEMM chain and return ZERO masks (the everything-mode IoU gate: those
+    candidates are dropped by the caller's own iou filter regardless of
+    mask content). The gated path is inference-only (bypasses the
+    custom VJP).
     """
+    if active is not None:
+        return _upscale_fwd_impl(src, hyper_in, k1, b1, lnw, lnb, k2, b2,
+                                 out_dtype, interpret, active=active)
     return _upscale_cvjp(src, hyper_in, k1, b1, lnw, lnb, k2, b2,
                          out_dtype, interpret)
 
@@ -168,10 +193,13 @@ def upscale_hyper_masks(src, hyper_in, k1, b1, lnw, lnb, k2, b2,
 @functools.partial(jax.jit, static_argnames=('out_dtype', 'interpret'))
 def _upscale_fwd_impl(src, hyper_in, k1, b1, lnw, lnb, k2, b2,
                       out_dtype=jnp.float32,
-                      interpret: bool | None = None):
+                      interpret: bool | None = None, active=None):
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
     b, h, w, c = src.shape
+    if active is None:
+        active = jnp.ones((b,), jnp.int32)
+    active = active.astype(jnp.int32)
     m, c8 = hyper_in.shape[1:]
     c4 = k1.shape[1] // 4
     dt = k1.dtype
@@ -200,6 +228,8 @@ def _upscale_fwd_impl(src, hyper_in, k1, b1, lnw, lnb, k2, b2,
         out_shape=jax.ShapeDtypeStruct((b, h * w, m * 16), out_dtype),
         grid=grid,
         in_specs=[
+            pl.BlockSpec((1,), lambda i, r: (i,),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, pix, c), lambda i, r: (i, r, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(k1.shape, lambda i, r: (0, 0),
@@ -222,7 +252,7 @@ def _upscale_fwd_impl(src, hyper_in, k1, b1, lnw, lnb, k2, b2,
         out_specs=pl.BlockSpec((1, pix, m * 16), lambda i, r: (i, r, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(src_flat, k1, b1.astype(f32), pool_m, lnw_t, lnb_t, k2bd,
+    )(active, src_flat, k1, b1.astype(f32), pool_m, lnw_t, lnb_t, k2bd,
       b2_t, hbd)
     # depth-to-space on the blocked masks: col = (m, dy, dx, gy, gx)
     return _interleave(out, b, h, w, m)

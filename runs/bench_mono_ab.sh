@@ -6,7 +6,7 @@
 #   bash runs/bench_mono_ab.sh [logfile]
 #
 # Matrix: two-step (baseline) vs monolithic decode kernel at 1/2/4
-# prompts per program, plus the in-kernel IoU gate (REGDA_MONO_IOU_GATE;
+# prompts per program, plus the per-prompt IoU gate (REGDA_SAM_IOU_GATE;
 # NOTE: random-init weights fail pred_iou_thresh almost everywhere, so
 # the gated numbers OVERSTATE the real-weight gain — record them as a
 # ceiling, not a claim). Finishes with crop0 and the kernel parity check.
@@ -25,7 +25,8 @@ run "two-step (current default)"      REGDA_NO_MONO=1
 run "mono pp=1"                       REGDA_MONO_DECODE=1 REGDA_MONO_PP=1
 run "mono pp=2 (default)"             REGDA_MONO_DECODE=1
 run "mono pp=4"                       REGDA_MONO_DECODE=1 REGDA_MONO_PP=4
-run "mono pp=2 + iou gate (ceiling)"  REGDA_MONO_DECODE=1 REGDA_MONO_IOU_GATE=1
+run "mono pp=2 + iou gate (ceiling)"  REGDA_MONO_DECODE=1 REGDA_SAM_IOU_GATE=1
+run "two-step + iou gate (ceiling)"   REGDA_NO_MONO=1 REGDA_SAM_IOU_GATE=1
 run "crop0 two-step"                  REGDA_NO_MONO=1 BENCH_SAM_CROPS=0
 run "crop0 mono pp=2"                 REGDA_MONO_DECODE=1 BENCH_SAM_CROPS=0
 

@@ -980,3 +980,40 @@ def test_mono_decode_iou_gate(monkeypatch):
                                        atol=2e-4)
     # the gate must skip only clear failures
     assert zeroed <= int((i0.max(1) <= thr - GATE_MARGIN).sum())
+
+
+def test_twostep_upscale_iou_gate(monkeypatch):
+    """The two-step path's IoU gate (upscale kernel `active` flags,
+    computed from the EXACT iou array the caller filters on): gated rows
+    zero, surviving rows identical, iou untouched."""
+    from regda_tpu.models.sam.decoder import MaskDecoder
+    from regda_tpu.models.sam.factored_decoder import mask_decoder_fast
+
+    dec = MaskDecoder(dtype=jnp.float32)
+    emb = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 256)) * 0.5
+    pe = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 256)) * 0.5
+    sparse = jax.random.normal(jax.random.PRNGKey(3), (6, 2, 256)) * 0.5
+    dense = jax.random.normal(jax.random.PRNGKey(4), (1, 8, 8, 256)) * 0.5
+    params = dec.init(jax.random.PRNGKey(0), emb, pe, sparse,
+                      dense)['params']
+    monkeypatch.delenv('REGDA_MONO_DECODE', raising=False)
+
+    m0, i0 = mask_decoder_fast(params, emb, pe[0], sparse, dense,
+                               fused_upscale=True, factored=False)
+    m0, i0 = np.asarray(m0), np.asarray(i0)
+    thr = float(np.median(i0.max(1)))
+    m1, i1 = mask_decoder_fast(params, emb, pe[0], sparse, dense,
+                               fused_upscale=True, factored=False,
+                               iou_gate_thresh=thr)
+    m1 = np.asarray(m1)
+    np.testing.assert_allclose(np.asarray(i1), i0, rtol=2e-5, atol=2e-5)
+    n_zero = 0
+    for r in range(m1.shape[0]):
+        if i0[r].max() > thr:
+            np.testing.assert_allclose(m1[r], m0[r], rtol=2e-5, atol=2e-5)
+        else:
+            # exact gate: the SAME iou array decides, so every failing
+            # prompt is zeroed, no margin band
+            assert np.abs(m1[r]).max() == 0.0
+            n_zero += 1
+    assert n_zero == int((i0.max(1) <= thr).sum()) and n_zero >= 1
