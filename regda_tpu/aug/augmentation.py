@@ -39,8 +39,10 @@ class Compose:
 
 
 class OneOf:
-    """Apply one of `transforms` (uniformly chosen) with probability p
-    (albumentations semantics; the chosen transform always applies)."""
+    """Apply one of `transforms` (uniformly chosen) with probability p.
+    Unlike albumentations' OneOf, the chosen transform is invoked with its
+    own prob — build inner transforms with always=True (as the shipped
+    configs do) to get the albumentations force-apply semantics."""
 
     def __init__(self, transforms, p: float = 0.75):
         self.transforms = list(transforms)

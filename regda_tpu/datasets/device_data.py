@@ -89,7 +89,12 @@ def parse_aug_spec(transforms) -> Optional[dict]:
             and isinstance(ts[0].transforms[0], RandomHorizontalFlip)
             and isinstance(ts[0].transforms[1], RandomVerticalFlip)
             and isinstance(ts[0].transforms[2], RandomRotate90)
-            and ts[0].transforms[2].fixed_k is None):
+            and ts[0].transforms[2].fixed_k is None
+            # _draw_ops applies the chosen transform unconditionally, which
+            # matches the host path only when every inner prob is 1
+            # (always=True, as the shipped configs build them); anything
+            # else must fall back to the host loader.
+            and all(t.prob == 1.0 for t in ts[0].transforms)):
         spec.update(kind='oneof', p=float(ts[0].p))
         return spec
     if (len(ts) == 3 and isinstance(ts[0], RandomHorizontalFlip)
@@ -388,8 +393,17 @@ class DeviceEvalSet:
 
 
 def get_eval_set(config: dict, dataset_name: str) -> DeviceEvalSet:
+    # The key must cover everything DeviceEvalSet bakes in — normalize
+    # stats/clamp and batch size included — or two configs sharing a
+    # directory would silently reuse each other's normalization.
+    spec = parse_aug_spec(config.get('transforms'))
+    norm_key = (None if spec is None or spec['mean'] is None else
+                (tuple(np.ravel(spec['mean']).tolist()),
+                 tuple(np.ravel(spec['std']).tolist()), spec['clamp']))
     key = (tuple(config['image_dir']),
-           tuple(config.get('mask_dir') or ()), dataset_name)
+           tuple(config.get('mask_dir') or ()), dataset_name,
+           bool(config.get('read_sup', False)),
+           config.get('batch_size', 1), norm_key)
     if key not in _EVAL_CACHE:
         _EVAL_CACHE[key] = DeviceEvalSet(config, dataset_name)
     return _EVAL_CACHE[key]

@@ -45,6 +45,15 @@ SAM_PIXEL_MEAN = np.array([123.675, 116.28, 103.53], np.float32)
 SAM_PIXEL_STD = np.array([58.395, 57.12, 57.375], np.float32)
 
 
+def preprocess_shape(h: int, w: int, long_side: int):
+    """Longest-side resize target (upstream ResizeLongestSide rounding).
+    The SINGLE source of this rounding: the crop preprocessors and the
+    point-grid/decode/stats jits must all agree on (nh, nw) or prompts
+    land at shifted coordinates in the resized crop."""
+    scale = long_side / max(h, w)
+    return int(h * scale + 0.5), int(w * scale + 0.5)
+
+
 class Sam(nn.Module):
     """Bundled SAM modules sharing one variable tree.
 
@@ -419,8 +428,7 @@ class SamAutomaticMaskGenerator:
     def _preprocess(self, image_np: np.ndarray) -> np.ndarray:
         """uint8 HWC crop -> (1, 1024, 1024, 3) normalized float32."""
         h, w = image_np.shape[:2]
-        scale = self.img_size / max(h, w)
-        nh, nw = int(h * scale + 0.5), int(w * scale + 0.5)
+        nh, nw = preprocess_shape(h, w, self.img_size)
         img = np.asarray(Image.fromarray(image_np).resize(
             (nw, nh), Image.BILINEAR), np.float32)
         img = (img - SAM_PIXEL_MEAN) / SAM_PIXEL_STD
@@ -578,8 +586,7 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
             from regda_tpu.ops.resize import resize_bilinear_half_pixel
             ch, cw = crop_hw
             size = self.img_size
-            scale = size / max(ch, cw)
-            nh, nw = int(ch * scale + 0.5), int(cw * scale + 0.5)
+            nh, nw = preprocess_shape(ch, cw, size)
             mean = jnp.asarray(SAM_PIXEL_MEAN)
             std = jnp.asarray(SAM_PIXEL_STD)
 
@@ -620,8 +627,7 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
                 for (bx0, by0, bx1, by1) in boxes:
                     c = x[:, by0:by1, bx0:bx1]
                     ch, cw = by1 - by0, bx1 - bx0
-                    scale = size / max(ch, cw)
-                    nh, nw = int(ch * scale + 0.5), int(cw * scale + 0.5)
+                    nh, nw = preprocess_shape(ch, cw, size)
                     r = resize_bilinear_half_pixel(c, (nh, nw))
                     r = (r - mean) / std
                     outs.append(jnp.pad(
@@ -1126,10 +1132,14 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
             while k < len(used):
                 k *= 2
             k = min(k, m_total)
+            # pad entries gather slot 0's packed bits, which may be an
+            # inactive slot's UNWRITTEN garbage — safe only because their
+            # ids stay 0 (the paint kernel takes max(bits * id, canvas),
+            # so id-0 rows can never write). Keep both invariants together.
             sel = np.zeros(k, np.int64)
-            sel[:len(used)] = used               # pad repeats slot `used[0]`
+            sel[:len(used)] = used
             ids_sel = np.zeros((n_tiles, k), ids_ci.dtype)
-            ids_sel[:, :len(used)] = ids_ci[:, used]   # pad ids stay 0
+            ids_sel[:, :len(used)] = ids_ci[:, used]
             paint = self._paint_packed_fn((p['nh'], p['nw'], box[0], box[1],
                                            p['ch'], p['cw']))
             canvases = paint(canvases, p['packed'][:, jnp.asarray(sel)],

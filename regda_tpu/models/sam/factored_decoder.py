@@ -599,10 +599,13 @@ def mask_decoder_mono(params, image_embedding, image_pe, point_embedding,
     """Monolithic decode: two-way transformer + hypernetwork MLPs + mask
     head in ONE Pallas program per prompt (pallas_monodecode.py) — the
     per-prompt key state never leaves VMEM. Returns (queries (B, n, C),
-    masks (B, 3, 4H, 4W)). params: the full MaskDecoder param tree.
+    masks (B, 3, 4H, 4W), iou). params: the full MaskDecoder param tree.
 
     iou_gate_thresh: enable the in-kernel IoU gate (inference-only;
-    see pallas_monodecode.mono_decode) at pred_iou_thresh."""
+    see pallas_monodecode.mono_decode) at pred_iou_thresh. When enabled,
+    iou is the kernel's (B, 3) f32 iou predictions — the CANONICAL filter
+    array (the gate decided from these same numbers); otherwise None and
+    the caller computes the iou head from the returned queries."""
     from regda_tpu.models.sam.pallas_monodecode import mono_decode
     from regda_tpu.models.sam.pallas_upscale import (
         upscale_params_from_decoder)
@@ -622,10 +625,14 @@ def mask_decoder_mono(params, image_embedding, image_pe, point_embedding,
         iou_w = (ih['lin0']['kernel'], ih['lin0']['bias'],
                  ih['lin1']['kernel'], ih['lin1']['bias'],
                  ih['lin2']['kernel'], ih['lin2']['bias'])
-    masks, qout = mono_decode(operands, hyper_w, up_w, num_heads,
-                              out_dtype=mask_dtype, interpret=interpret,
-                              iou_w=iou_w, iou_thresh=iou_gate_thresh)
-    return qout[:, :n], masks
+    out = mono_decode(operands, hyper_w, up_w, num_heads,
+                      out_dtype=mask_dtype, interpret=interpret,
+                      iou_w=iou_w, iou_thresh=iou_gate_thresh)
+    if iou_gate_thresh is not None:
+        masks, qout, iou = out
+        return qout[:, :n], masks, iou
+    masks, qout = out
+    return qout[:, :n], masks, None
 
 
 def two_way_transformer_factored(params, image_embedding, image_pe,
@@ -710,10 +717,11 @@ def mask_decoder_fast(params, image_embeddings, image_pe, sparse_prompt,
     - iou_gate_thresh: per-prompt IoU gate — prompts whose every returned
       IoU fails pred_iou_thresh skip the mask head and return zero masks
       (output-identical for everything-mode consumers, which drop those
-      candidates anyway; inference-only). The mono kernel recomputes the
-      IoU head in-kernel (0.05 rounding margin); the two-step fused path
-      hoists the exact XLA iou head ahead of the mask head and feeds it
-      to the upscale kernel's active flags (no margin).
+      candidates anyway; inference-only). Both paths gate and filter on
+      the SAME iou array, so no margin is needed: the mono kernel runs
+      the iou head in-kernel and returns it as the canonical iou_pred;
+      the two-step fused path hoists the exact XLA iou head ahead of the
+      mask head and feeds it to the upscale kernel's active flags.
 
     image_embeddings / dense_prompt must be batch-1 (shared across the B
     sparse prompts) — exactly the everything-mode point-prompt setting.
@@ -738,10 +746,15 @@ def mask_decoder_fast(params, image_embeddings, image_pe, sparse_prompt,
                     and not _os.environ.get('REGDA_NO_MONO')):
         # monolithic per-prompt decode (pallas_monodecode.py): the key
         # state never leaves VMEM between the transformer and mask head
-        hs, masks = mask_decoder_mono(
+        hs, masks, iou_k = mask_decoder_mono(
             params, src_shared, pe4, tokens, num_heads=num_heads,
             dtype=dtype, mask_dtype=mask_dtype or jnp.float32,
             iou_gate_thresh=iou_gate_thresh)
+        if iou_k is not None:
+            # gated: the kernel's iou IS the filter array (the gate
+            # decided from it — see pallas_monodecode), computed from the
+            # f32 qfin rather than the dt-rounded queries output
+            return masks, iou_k
         iou_pred = _mlp(params['iou_prediction_head'], hs[:, 0], 3,
                         jnp.float32)
         return masks, iou_pred[:, 1:]

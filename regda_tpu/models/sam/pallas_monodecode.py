@@ -47,11 +47,6 @@ from regda_tpu.models.sam.pallas_upscale import (_gelu_exact, _interleave,
 
 M_SEL = 3          # multimask: masks 1..3 (mask 0 is never returned)
 PIX = 1024         # mask-head row-block size (bounds VMEM)
-# in-kernel IoU-gate slack: the gate recomputes the iou head from the f32
-# qfin while the caller's filter runs the same MLP in XLA from the
-# dt-rounded qout — skip only prompts that fail by more than the combined
-# rounding so the output mask SET is exactly the ungated one
-GATE_MARGIN = 0.05
 
 
 def _kernel(*refs, num_heads: int, head_dim: int, ln_dt: bool,
@@ -65,8 +60,13 @@ def _kernel(*refs, num_heads: int, head_dim: int, ln_dt: bool,
     (k1_ref, b1_ref, pool_ref, lnw_ref, lnb_ref, k2bd_ref, b2t_ref,
      hybd0_ref, hyb0_ref, hybd1_ref, hyb1_ref, hybd2_ref, hyb2_ref) = \
         refs[lo:lo + n_mask_ops]
-    iou_refs = refs[lo + n_mask_ops:-2] if iou_thresh is not None else None
-    masks_out_ref, qout_ref = refs[-2:]
+    if iou_thresh is not None:
+        iou_refs = refs[lo + n_mask_ops:-3]
+        masks_out_ref, qout_ref, iou_out_ref = refs[-3:]
+    else:
+        iou_refs = None
+        iou_out_ref = None
+        masks_out_ref, qout_ref = refs[-2:]
 
     # pp prompts per program: their chains are fully independent, so the
     # scheduler can overlap one prompt's VPU passes (LN/softmax/gelu)
@@ -79,7 +79,8 @@ def _kernel(*refs, num_heads: int, head_dim: int, ln_dt: bool,
                   k2bd_ref, b2t_ref, hybd0_ref, hyb0_ref, hybd1_ref,
                   hyb1_ref, hybd2_ref, hyb2_ref, masks_out_ref, qout_ref,
                   num_heads=num_heads, head_dim=head_dim, ln_dt=ln_dt,
-                  c4=c4, c8=c8, iou_refs=iou_refs, iou_thresh=iou_thresh)
+                  c4=c4, c8=c8, iou_refs=iou_refs, iou_thresh=iou_thresh,
+                  iou_out_ref=iou_out_ref)
 
 
 def _mono_one(j, ktok0_ref, vtok0_ref, q1_ref, qpe_ref, keys0_ref,
@@ -88,7 +89,8 @@ def _mono_one(j, ktok0_ref, vtok0_ref, q1_ref, qpe_ref, keys0_ref,
               k2bd_ref, b2t_ref, hybd0_ref, hyb0_ref, hybd1_ref,
               hyb1_ref, hybd2_ref, hyb2_ref, masks_out_ref, qout_ref,
               *, num_heads: int, head_dim: int, ln_dt: bool,
-              c4: int, c8: int, iou_refs=None, iou_thresh=None):
+              c4: int, c8: int, iou_refs=None, iou_thresh=None,
+              iou_out_ref=None):
     f32 = jnp.float32
     dt = keys0_ref.dtype
     keys2, qfin = _twoway_body(
@@ -103,10 +105,13 @@ def _mono_one(j, ktok0_ref, vtok0_ref, q1_ref, qpe_ref, keys0_ref,
         # even consulted (upstream SamAutomaticMaskGenerator order, the
         # caller's filter at auto.py _decode_all_fn), so the mask head —
         # the (T, C) GEMM chain below — is dead work for those prompts.
-        # Run the tiny iou head here on the iou token (qfin row 0) and
-        # skip the chain when ALL THREE returned masks fail by more than
-        # GATE_MARGIN; their output block is zeroed (stability reads 0/0
-        # -> 0, and the caller's ok is already False from its own iou).
+        # Run the tiny iou head here on the iou token (qfin row 0), EMIT
+        # it as the canonical iou prediction (iou_out_ref; the caller must
+        # filter on this array, not a recompute from the dt-rounded qout),
+        # and skip the chain when ALL THREE returned masks fail. Because
+        # the gate and the caller's filter decide from the SAME numbers,
+        # a zeroed block can never belong to a kept mask — no margin
+        # needed (stability reads 0/0 -> 0 and area 0 for skipped rows).
         (iw0_ref, ib0_ref, iw1_ref, ib1_ref, iw2_ref, ib2_ref) = iou_refs
         row_iota0 = jax.lax.broadcasted_iota(jnp.int32, (1, NP), 1)
         sel0 = (row_iota0 == 0).astype(dt)
@@ -121,10 +126,11 @@ def _mono_one(j, ktok0_ref, vtok0_ref, q1_ref, qpe_ref, keys0_ref,
         xq = (jnp.dot(xq.astype(dt), iw2_ref[...],
                       preferred_element_type=f32)
               + ib2_ref[0][None, :])                        # (1, 128 pad)
+        iou_out_ref[j] = xq.astype(iou_out_ref.dtype)
         lane = jax.lax.broadcasted_iota(jnp.int32, xq.shape, 1)
         # multimask returns masks 1..3 (iou-head lanes 1..3)
         iou3 = jnp.where((lane >= 1) & (lane <= M_SEL), xq, -1e30)
-        gate = jnp.max(iou3) > (iou_thresh - GATE_MARGIN)
+        gate = jnp.max(iou3) > iou_thresh
 
         @pl.when(gate)
         def _run_head():
@@ -265,16 +271,18 @@ def _mono_stock(allops, num_heads, out_dtype):
     return masks, qout
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def _mono_cvjp(allops, num_heads, out_dtype, interpret):
-    return _mono_fwd_impl(allops, num_heads, out_dtype, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def _mono_cvjp(allops, num_heads, out_dtype, interpret, pp, ln_dt):
+    return _mono_fwd_impl(allops, num_heads, out_dtype, interpret,
+                          pp=pp, ln_dt=ln_dt)
 
 
-def _mono_fwd(allops, num_heads, out_dtype, interpret):
-    return _mono_fwd_impl(allops, num_heads, out_dtype, interpret), allops
+def _mono_fwd(allops, num_heads, out_dtype, interpret, pp, ln_dt):
+    return _mono_fwd_impl(allops, num_heads, out_dtype, interpret,
+                          pp=pp, ln_dt=ln_dt), allops
 
 
-def _mono_bwd(num_heads, out_dtype, interpret, res, g):
+def _mono_bwd(num_heads, out_dtype, interpret, pp, ln_dt, res, g):
     _, vjp = jax.vjp(lambda ops: _mono_stock(ops, num_heads, out_dtype),
                      res)
     return vjp(g)
@@ -285,10 +293,11 @@ _mono_cvjp.defvjp(_mono_fwd, _mono_bwd)
 
 @functools.partial(jax.jit,
                    static_argnames=('num_heads', 'out_dtype', 'interpret',
-                                    'iou_thresh'))
+                                    'iou_thresh', 'pp', 'ln_dt'))
 def _mono_fwd_impl(allops, num_heads: int = 8, out_dtype=jnp.float32,
                    interpret: bool | None = None, iou_w=None,
-                   iou_thresh: float | None = None):
+                   iou_thresh: float | None = None, pp: int = 2,
+                   ln_dt: bool = False):
     operands, hyper_w, up_w = allops
     (ktok0, vtok0, q1, qpe, keys0, pe, qimg0, maskb, w) = operands
     if interpret is None:
@@ -309,10 +318,8 @@ def _mono_fwd_impl(allops, num_heads: int = 8, out_dtype=jnp.float32,
     colmask = jnp.asarray(colmask, dt)
     rowmask = jnp.asarray(rowmask, dt)
 
-    import os
     # prompts per program (see _kernel): default 2 on even batches —
     # interleaving two independent chains overlaps VPU and MXU phases
-    pp = int(os.environ.get('REGDA_MONO_PP', '2'))
     while pp > 1 and b % pp:
         pp -= 1
 
@@ -376,9 +383,15 @@ def _mono_fwd_impl(allops, num_heads: int = 8, out_dtype=jnp.float32,
                               memory_space=pltpu.VMEM),
                  pl.BlockSpec((pp, NP, c), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)]
+    if iou_thresh is not None:
+        # the in-kernel iou head's output lanes (128-padded; lanes 1..3
+        # are the returned masks' predictions) — the CANONICAL iou the
+        # caller must filter on so gate and filter agree exactly
+        out_shapes.append(jax.ShapeDtypeStruct((b, 1, 128), f32))
+        out_specs.append(pl.BlockSpec((pp, 1, 128), lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
 
-    ln_dt = os.environ.get('REGDA_TWOWAY_LN_DT', '0') == '1'
-    blocked, qout = pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(_kernel, num_heads=num_heads, head_dim=hd,
                           ln_dt=ln_dt, c4=c4, c8=c8, pp=pp,
                           iou_thresh=iou_thresh),
@@ -390,8 +403,11 @@ def _mono_fwd_impl(allops, num_heads: int = 8, out_dtype=jnp.float32,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
     )(*operands_flat)
+    blocked, qout = outs[0], outs[1]
     h = w_hw = int(round(t ** 0.5))
     masks = _interleave(blocked, b, h, w_hw, M_SEL)
+    if iou_thresh is not None:
+        return masks, qout, outs[2][:, 0, 1:1 + M_SEL]
     return masks, qout
 
 
@@ -409,15 +425,28 @@ def mono_decode(operands, hyper_w, up_w, num_heads: int = 8,
 
     iou_w + iou_thresh (the iou_prediction_head lin0..lin2 params and
     pred_iou_thresh) enable the in-kernel IoU gate: prompts whose best
-    predicted mask IoU falls below iou_thresh - GATE_MARGIN skip the mask
-    head and return ZERO mask blocks. Output-identical for everything-mode
-    consumers (those candidates are discarded by the caller's own
-    iou filter before stability matters — auto.py _decode_all_fn /
-    upstream SamAutomaticMaskGenerator order), but NOT the full stock
-    function, so the gated path is inference-only (no custom VJP)."""
+    predicted mask IoU falls at or below iou_thresh skip the mask head
+    and return ZERO mask blocks, and the return grows a third element —
+    the in-kernel iou predictions (B, 3) f32, which the caller MUST use
+    as its filter array (same numbers decide the gate and the filter, so
+    a zeroed block can never belong to a kept mask). Output-identical for
+    everything-mode consumers (those candidates are discarded by the iou
+    filter before stability matters — auto.py _decode_all_fn / upstream
+    SamAutomaticMaskGenerator order), but NOT the full stock function, so
+    the gated path is inference-only (no custom VJP).
+
+    The REGDA_MONO_PP / REGDA_TWOWAY_LN_DT knobs are read HERE (eager
+    entry), not inside the jitted impl, so they land in the jit cache key
+    — toggling them between calls at the same shapes re-traces instead of
+    silently reusing the old kernel (a caller that jits around mono_decode
+    still bakes the values at its own trace time)."""
+    import os
+    pp = int(os.environ.get('REGDA_MONO_PP', '2'))
+    ln_dt = os.environ.get('REGDA_TWOWAY_LN_DT', '0') == '1'
     if iou_thresh is not None:
         return _mono_fwd_impl((operands, hyper_w, up_w), num_heads,
                               out_dtype, interpret, iou_w=iou_w,
-                              iou_thresh=float(iou_thresh))
+                              iou_thresh=float(iou_thresh), pp=pp,
+                              ln_dt=ln_dt)
     return _mono_cvjp((operands, hyper_w, up_w), num_heads, out_dtype,
-                      interpret)
+                      interpret, pp, ln_dt)

@@ -349,16 +349,16 @@ def _twoway_stock(operands, num_heads: int):
     return jax.vmap(one)(ktok0, vtok0, q1, qpe)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def _twoway_cvjp(operands, num_heads, interpret):
-    return _twoway_fwd_impl(operands, num_heads, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _twoway_cvjp(operands, num_heads, interpret, ln_dt):
+    return _twoway_fwd_impl(operands, num_heads, interpret, ln_dt)
 
 
-def _twoway_fwd(operands, num_heads, interpret):
-    return _twoway_fwd_impl(operands, num_heads, interpret), operands
+def _twoway_fwd(operands, num_heads, interpret, ln_dt):
+    return _twoway_fwd_impl(operands, num_heads, interpret, ln_dt), operands
 
 
-def _twoway_bwd(num_heads, interpret, res, g):
+def _twoway_bwd(num_heads, interpret, ln_dt, res, g):
     _, vjp = jax.vjp(lambda ops: _twoway_stock(ops, num_heads), res)
     return vjp(g)
 
@@ -366,9 +366,11 @@ def _twoway_bwd(num_heads, interpret, res, g):
 _twoway_cvjp.defvjp(_twoway_fwd, _twoway_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=('num_heads', 'interpret'))
+@functools.partial(jax.jit,
+                   static_argnames=('num_heads', 'interpret', 'ln_dt'))
 def _twoway_fwd_impl(operands, num_heads: int = 8,
-                     interpret: bool | None = None):
+                     interpret: bool | None = None,
+                     ln_dt: bool = False):
     (ktok0, vtok0, q1, qpe, keys0, pe, qimg0, maskb, w) = operands
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
@@ -423,8 +425,6 @@ def _twoway_fwd_impl(operands, num_heads: int = 8,
                  pl.BlockSpec((1, NP, c), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)]
 
-    import os
-    ln_dt = os.environ.get('REGDA_TWOWAY_LN_DT', '0') == '1'
     keys2, qout = pl.pallas_call(
         functools.partial(_kernel, num_heads=num_heads, head_dim=hd,
                           ln_dt=ln_dt),
@@ -446,5 +446,13 @@ def two_way_fused(operands, num_heads: int = 8,
     operands: (ktok0 (B,NP,D), vtok0 (B,NP,D), q1 (B,NP,C), qpe (B,NP,C),
     keys0 (T,C), pe (T,C), qimg0 (T,D), maskb (1,NP), weights dict).
     Returns (keys2 (B,T,C), queries_out (B,NP,C)). Differentiable via the
-    VJP of the stock twin."""
-    return _twoway_cvjp(operands, num_heads, interpret)
+    VJP of the stock twin.
+
+    The REGDA_TWOWAY_LN_DT knob is read HERE (eager entry), not inside the
+    jitted impl, so it lands in the jit cache key — toggling the env var
+    between calls at the same shapes re-traces instead of silently reusing
+    the old kernel (a caller that jits around two_way_fused still bakes
+    the value at its own trace time)."""
+    import os
+    ln_dt = os.environ.get('REGDA_TWOWAY_LN_DT', '0') == '1'
+    return _twoway_cvjp(operands, num_heads, interpret, ln_dt)

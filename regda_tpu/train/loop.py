@@ -68,6 +68,7 @@ class Trainer:
         # measured ~68 s eval pauses, roughly half of it this download).
         # Disable with REGDA_SYNC_CKPT=1.
         self._saver = None
+        self._saver_exc = None
         self._async_ckpt = os.environ.get('REGDA_SYNC_CKPT', '0') != '1'
         # deep on-device copy for the saver thread: the train step DONATES
         # the state buffers, so the thread must snapshot them (HBM-to-HBM,
@@ -226,7 +227,17 @@ class Trainer:
 
         if self._async_ckpt:
             import threading
-            self._saver = threading.Thread(target=_save_chain,
+
+            def _save_chain_capture():
+                # A failed background save must not report success: stash
+                # the exception and re-raise it at the next join point
+                # (join_saver / the next eval / end of training).
+                try:
+                    _save_chain()
+                except BaseException as e:  # noqa: BLE001
+                    self._saver_exc = e
+
+            self._saver = threading.Thread(target=_save_chain_capture,
                                            name='ckpt-saver')
             self._saver.start()
         else:
@@ -235,10 +246,16 @@ class Trainer:
 
     def join_saver(self):
         """Block until the in-flight async checkpoint chain (if any) has
-        fully written _curr/_best/_state to disk."""
+        fully written _curr/_best/_state to disk; re-raise any exception
+        the background chain hit so a lost checkpoint cannot masquerade
+        as a successful save."""
         if self._saver is not None:
             self._saver.join()
             self._saver = None
+        exc = getattr(self, '_saver_exc', None)
+        if exc is not None:
+            self._saver_exc = None
+            raise RuntimeError('async checkpoint chain failed') from exc
 
     @property
     def variables(self):

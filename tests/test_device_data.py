@@ -26,6 +26,17 @@ def test_parse_specs():
     # unknown stack -> None (host fallback)
     from regda_tpu.aug import Compose, RandomCrop
     assert parse_aug_spec(Compose([RandomCrop(8)])) is None
+    # OneOf whose inner transforms are NOT always-apply would diverge from
+    # the host path (_draw_ops applies the chosen op unconditionally) ->
+    # must be rejected, not silently accepted
+    from regda_tpu.aug import (Normalize, OneOf, RandomHorizontalFlip,
+                               RandomRotate90, RandomVerticalFlip)
+    bad = Compose([RandomCrop(64),
+                   OneOf([RandomHorizontalFlip(),
+                          RandomVerticalFlip(),
+                          RandomRotate90()], p=0.75),
+                   Normalize(MEAN, STD)])
+    assert parse_aug_spec(bad) is None
 
 
 def test_geo_switch_matches_host_ops():
@@ -180,3 +191,23 @@ def test_oneof_distribution():
     assert abs(p_ident - (0.25 + 0.75 / 12)) < 0.02
     p_h = np.mean(ops == 1)
     assert abs(p_h - 0.25) < 0.02
+
+
+def test_eval_cache_keys_on_normalization(tmp_path):
+    """get_eval_set must NOT hand a cached split normalized with different
+    stats to a second config that shares the same directories."""
+    from regda_tpu.datasets.device_data import get_eval_set
+
+    img_dir, ann_dir = _mini_tree(tmp_path, hw=12)
+    cfg_a = dict(image_dir=[img_dir], mask_dir=[ann_dir],
+                 transforms=eval_transforms(MEAN, STD), batch_size=1)
+    cfg_b = dict(image_dir=[img_dir], mask_dir=[ann_dir],
+                 transforms=eval_transforms((0.0, 0.0, 0.0),
+                                            (1.0, 1.0, 1.0)),
+                 batch_size=1)
+    ea, eb = get_eval_set(cfg_a, 'IsprsDA'), get_eval_set(cfg_b, 'IsprsDA')
+    assert ea is not eb
+    ta, tb = next(iter(ea))['image'], next(iter(eb))['image']
+    assert not np.allclose(np.asarray(ta), np.asarray(tb))
+    # same config -> same cached instance
+    assert get_eval_set(dict(cfg_a), 'IsprsDA') is ea

@@ -202,3 +202,25 @@ def test_daloader_cross_validation_folds(data_root, tmp_path):
     # i=-1 (default) keeps the full dataset
     full = DALoader(dict(base, CV=dict(k=2, i=-1)), 'IsprsDA')
     assert len(full) == n
+
+
+def test_join_saver_surfaces_async_failure():
+    """A failed background checkpoint chain must not masquerade as a
+    successful save: join_saver re-raises the thread's exception (once),
+    so --auto-resume can never silently restore a stale/missing state."""
+    import threading
+
+    import pytest
+
+    t = Trainer.__new__(Trainer)
+    t._saver_exc = None
+
+    def boom():
+        t._saver_exc = OSError('disk full')
+
+    t._saver = threading.Thread(target=boom)
+    t._saver.start()
+    with pytest.raises(RuntimeError, match='async checkpoint'):
+        t.join_saver()
+    # the exception is consumed; subsequent joins are clean no-ops
+    t.join_saver()

@@ -874,7 +874,7 @@ def test_mask_decoder_mono_equals_two_step(monkeypatch):
     from regda_tpu.models.sam.pallas_monodecode import _mono_stock
 
     def loss_mono(emb_in):
-        q, m = mask_decoder_mono(params, emb_in + dense[:1], pe, 
+        q, m, _ = mask_decoder_mono(params, emb_in + dense[:1], pe,
                                  jnp.concatenate(
                                      [jnp.broadcast_to(
                                          jnp.concatenate(
@@ -927,16 +927,16 @@ def test_mask_stats_fused_active_vmapped():
 
 
 def test_mono_decode_iou_gate(monkeypatch):
-    """The in-kernel IoU gate (pallas_monodecode GATE_MARGIN): prompts
-    whose best predicted IoU clearly fails the threshold return ZERO mask
-    blocks (skipping the mask-head GEMMs); every other prompt matches the
-    ungated kernel exactly, and the iou output is untouched. Exactness
-    contract: everything-mode drops iou-failing candidates before masks
-    matter (auto.py _decode_all_fn, upstream SamAutomaticMaskGenerator
-    order)."""
+    """The in-kernel IoU gate (pallas_monodecode): the kernel's iou head
+    output is the CANONICAL iou prediction, and prompts whose best iou
+    fails the threshold return ZERO mask blocks (skipping the mask-head
+    GEMMs). Because the gate and the caller's filter decide from the same
+    array, zeroed rows are exactly the rows the filter drops — no margin
+    band. Exactness contract: everything-mode drops iou-failing candidates
+    before masks matter (auto.py _decode_all_fn, upstream
+    SamAutomaticMaskGenerator order)."""
     from regda_tpu.models.sam.decoder import MaskDecoder
     from regda_tpu.models.sam.factored_decoder import mask_decoder_fast
-    from regda_tpu.models.sam.pallas_monodecode import GATE_MARGIN
 
     dec = MaskDecoder(dtype=jnp.float32)
     emb = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 256)) * 0.5
@@ -963,23 +963,23 @@ def test_mono_decode_iou_gate(monkeypatch):
     assert np.abs(np.asarray(m_fail)).max() == 0.0
     np.testing.assert_allclose(np.asarray(i_fail), i0, rtol=2e-4, atol=2e-4)
 
-    # mid threshold: each row is either the ungated result or (only when
-    # its best iou is below threshold) all zero
+    # mid threshold: zeroed rows are EXACTLY the rows the caller's filter
+    # drops (same iou array decides both), every survivor matches the
+    # ungated kernel
     thr = float(np.median(i0.max(1)))
-    m_mid, _ = mask_decoder_fast(params, emb, pe[0], sparse, dense,
-                                 fused_upscale=True, factored=False,
-                                 iou_gate_thresh=thr)
-    m_mid = np.asarray(m_mid)
+    m_mid, i_mid = mask_decoder_fast(params, emb, pe[0], sparse, dense,
+                                     fused_upscale=True, factored=False,
+                                     iou_gate_thresh=thr)
+    m_mid, i_mid = np.asarray(m_mid), np.asarray(i_mid)
     zeroed = 0
     for r in range(m_mid.shape[0]):
-        if np.abs(m_mid[r]).max() == 0.0:
-            assert i0[r].max() < thr  # never zero a candidate that passes
-            zeroed += 1
-        else:
+        if i_mid[r].max() > thr:
             np.testing.assert_allclose(m_mid[r], m0[r], rtol=2e-4,
                                        atol=2e-4)
-    # the gate must skip only clear failures
-    assert zeroed <= int((i0.max(1) <= thr - GATE_MARGIN).sum())
+        else:
+            assert np.abs(m_mid[r]).max() == 0.0
+            zeroed += 1
+    assert zeroed == int((i_mid.max(1) <= thr).sum()) and zeroed >= 1
 
 
 def test_twostep_upscale_iou_gate(monkeypatch):

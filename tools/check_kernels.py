@@ -230,16 +230,25 @@ def main():
     iou_w = (arr(c2, c2, scale=0.1), arr(c2, scale=0.1),
              arr(c2, c2, scale=0.1), arr(c2, scale=0.1),
              arr(c2, 4, scale=0.1), arr(4, scale=0.1))
-    mgp, qgp = mono_decode(ops, hyper_w, up_w, interpret=not on_tpu,
-                           iou_w=iou_w, iou_thresh=-1e9)
+    mgp, qgp, igp = mono_decode(ops, hyper_w, up_w, interpret=not on_tpu,
+                                iou_w=iou_w, iou_thresh=-1e9)
     check('mono_decode iou-gate all-pass masks', mgp, np.asarray(mg),
           rtol, max(atol, 5e-2))
-    mgf, qgf = mono_decode(ops, hyper_w, up_w, interpret=not on_tpu,
-                           iou_w=iou_w, iou_thresh=1e9)
+    mgf, qgf, _ = mono_decode(ops, hyper_w, up_w, interpret=not on_tpu,
+                              iou_w=iou_w, iou_thresh=1e9)
     check('mono_decode iou-gate all-fail masks', mgf,
           np.zeros_like(np.asarray(mg)), 0.0, 1e-12)
     check('mono_decode iou-gate queries', np.asarray(qgf)[:, :7],
           np.asarray(qmg)[:, :7], rtol, atol)
+    # the kernel's canonical iou vs the same MLP in XLA from qout row 0
+    x = np.asarray(qmg)[:, 0].astype(np.float32)
+    iw0, ib0, iw1, ib1, iw2, ib2 = (np.asarray(a, np.float32)
+                                    for a in iou_w)
+    x = np.maximum(x @ iw0 + ib0, 0.0)
+    x = np.maximum(x @ iw1 + ib1, 0.0)
+    iou_ref = (x @ iw2 + ib2)[:, 1:4]
+    check('mono_decode iou-gate iou head', np.asarray(igp), iou_ref,
+          max(rtol, 1e-2), max(atol, 1e-2))
 
     n_fail = sum(1 for _, ok, _ in RESULTS if not ok)
     print(f'\n{len(RESULTS) - n_fail}/{len(RESULTS)} kernel checks passed '
