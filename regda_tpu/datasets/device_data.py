@@ -279,6 +279,13 @@ class DeviceLoader:
         assert imgs.dtype == np.uint8, imgs.dtype
         self.fnames = fnames
         self.tile_hw = imgs.shape[1:3]
+        if spec['crop'] is not None and (spec['crop'] > self.tile_hw[0]
+                                         or spec['crop'] > self.tile_hw[1]):
+            # the host RandomCrop raises on this config (negative randint
+            # bound); surface the misconfiguration instead of silently
+            # training uncropped at the cached tile size
+            raise ValueError(
+                f"crop {spec['crop']} exceeds cached tile {self.tile_hw}")
 
         budget = budget_bytes if budget_bytes is not None else int(
             os.environ.get('REGDA_DEVICE_DATA_BUDGET', 8 << 30))
@@ -344,10 +351,18 @@ _EVAL_CACHE: dict = {}
 class DeviceEvalSet:
     """Sequential batch-1 eval split resident on device as uint8; each tile
     is normalized on-chip. Labels stay host-side numpy (the confusion-matrix
-    metric is a host op). Cached per directory set so repeated evals during
-    training upload the split exactly once."""
+    metric is a host op) and are read from disk once, then served from a
+    host cache across evals. Cached per directory set so repeated evals
+    during training upload the split exactly once (entries live for the
+    process — a stage tool touches at most its val + test splits).
 
-    def __init__(self, config: dict, dataset_name: str):
+    Honors the same CV fold selection as DALoader (folds[i] when
+    CV=dict(k, i>=0) — regda/datasets/daLoader.py semantics) and the same
+    REGDA_DEVICE_DATA_BUDGET HBM cap as DeviceLoader; over-budget splits
+    raise DeviceCacheTooLarge so the caller can fall back to the host
+    loader instead of dying in the backend allocator."""
+
+    def __init__(self, config: dict, dataset_name: str, seed: int = 2333):
         import jax
         import jax.numpy as jnp
 
@@ -361,8 +376,17 @@ class DeviceEvalSet:
         if spec is None or spec['kind'] != 'none' or spec['crop'] is not None:
             raise ValueError('eval transforms must be Normalize-only')
         self.ds = ds
-        imgs = np.stack([read_image(p) for p in ds.rgb_paths])
+        from regda_tpu.datasets.loader import DALoader
+        subset = DALoader.compute_cv_subset(
+            len(ds), config.get('CV'), bool(config.get('training', False)),
+            seed)
+        self._indices = (np.sort(subset) if subset is not None
+                         else np.arange(len(ds)))
+        imgs = np.stack([read_image(ds.rgb_paths[i]) for i in self._indices])
         assert imgs.dtype == np.uint8
+        budget = int(os.environ.get('REGDA_DEVICE_DATA_BUDGET', 8 << 30))
+        if imgs.nbytes > budget:
+            raise DeviceCacheTooLarge(f'{imgs.nbytes} > {budget} bytes')
         self._images = jax.device_put(imgs)
         mean, std = spec['mean'], spec['std']
 
@@ -374,22 +398,29 @@ class DeviceEvalSet:
 
         self._norm = norm
         self.batch_size = config.get('batch_size', 1)
+        self._cls_cache: Optional[list] = None
+
+    def _cls(self, i: int) -> np.ndarray:
+        if self._cls_cache is None:
+            self._cls_cache = [self.ds.read_raw(int(j))['cls']
+                               for j in self._indices]
+        return self._cls_cache[i]
 
     def __iter__(self):
-        n = len(self.ds)
+        n = len(self._indices)
         bs = self.batch_size
         for lo in range(0, n, bs):
             sel = range(lo, min(lo + bs, n))
             out = {'image': self._norm(self._images[np.asarray(sel)]),
-                   'fname': [os.path.basename(self.ds.rgb_paths[i])
-                             for i in sel]}
+                   'fname': [os.path.basename(
+                       self.ds.rgb_paths[int(self._indices[i])])
+                       for i in sel]}
             if self.ds.cls_paths:
-                cls = [self.ds.read_raw(i)['cls'] for i in sel]
-                out['cls'] = np.stack(cls)
+                out['cls'] = np.stack([self._cls(i) for i in sel])
             yield out
 
     def __len__(self):
-        return -(-len(self.ds) // self.batch_size)
+        return -(-len(self._indices) // self.batch_size)
 
 
 def get_eval_set(config: dict, dataset_name: str) -> DeviceEvalSet:
@@ -400,10 +431,13 @@ def get_eval_set(config: dict, dataset_name: str) -> DeviceEvalSet:
     norm_key = (None if spec is None or spec['mean'] is None else
                 (tuple(np.ravel(spec['mean']).tolist()),
                  tuple(np.ravel(spec['std']).tolist()), spec['clamp']))
+    cv = config.get('CV') or {}
     key = (tuple(config['image_dir']),
            tuple(config.get('mask_dir') or ()), dataset_name,
            bool(config.get('read_sup', False)),
-           config.get('batch_size', 1), norm_key)
+           config.get('batch_size', 1), norm_key,
+           (int(cv.get('k', 10) or 10), int(cv.get('i', -1)),
+            bool(config.get('training', False))))
     if key not in _EVAL_CACHE:
         _EVAL_CACHE[key] = DeviceEvalSet(config, dataset_name)
     return _EVAL_CACHE[key]

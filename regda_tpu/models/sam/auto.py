@@ -279,22 +279,25 @@ class SamAutomaticMaskGenerator:
         return m_h.astype(np.float32), m_w.astype(np.float32)
 
     def _decode_fn(self, key_hw=None):
+        import os as _os
         exact = self.stability_on_upscaled and key_hw is not None
-        key = ('decode', key_hw if exact else None)
+        # per-prompt IoU gate (REGDA_SAM_IOU_GATE): candidates the
+        # downstream filter is about to drop by pred_iou_thresh skip
+        # their mask-head GEMMs inside whichever decode kernel is
+        # active (mono: in-kernel iou head; two-step: exact XLA iou
+        # fed to the upscale kernel's active flags). Read at every call
+        # and part of the cache key, so toggling the env var between
+        # generate calls re-traces instead of reusing the stale kernel
+        # (same convention as mono_decode's eager knob reads).
+        gate = (float(self.pred_iou_thresh)
+                if _os.environ.get('REGDA_SAM_IOU_GATE')
+                or _os.environ.get('REGDA_MONO_IOU_GATE') else None)
+        key = ('decode', key_hw if exact else None, gate)
         if key not in self._jits:
-            import os as _os
             off = self.stability_score_offset
             dt = self.compute_dtype
             factored = self.factored_decoder
             fused = self.fused_upscale
-            # per-prompt IoU gate (REGDA_SAM_IOU_GATE): candidates the
-            # downstream filter is about to drop by pred_iou_thresh skip
-            # their mask-head GEMMs inside whichever decode kernel is
-            # active (mono: in-kernel iou head; two-step: exact XLA iou
-            # fed to the upscale kernel's active flags)
-            gate = (float(self.pred_iou_thresh)
-                    if _os.environ.get('REGDA_SAM_IOU_GATE')
-                    or _os.environ.get('REGDA_MONO_IOU_GATE') else None)
 
             def dec(variables, embedding, points):
                 """points: (P, 2) input-res xy -> per-mask scalars + logits."""
@@ -363,12 +366,14 @@ class SamAutomaticMaskGenerator:
         key_hw: (nh, nw, ch, cw) crop frame, used only by the exact
         upstream-parity stability mode (stability_on_upscaled)."""
         exact = self.stability_on_upscaled and key_hw is not None
-        key = ('decode_all', n_pts, key_hw if exact else None)
+        # decode_chunk is captured at trace time, so its gate config (see
+        # _decode_fn) must key this jit too
+        decode_chunk = self._decode_fn(key_hw)
+        key = ('decode_all', n_pts, key_hw if exact else None, decode_chunk)
         if key not in self._jits:
             pb = self.points_per_batch
             budget = self.mask_budget
             t_iou, t_st = self.pred_iou_thresh, self.stability_score_thresh
-            decode_chunk = self._decode_fn(key_hw)
 
             def dec_all(variables, embedding, points, valid_pts):
                 """points: (n_pts, 2) padded; valid_pts: (n_pts,) bool."""
@@ -777,11 +782,13 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
     # ----------------------------------------------- batched (vmapped) jits
     def _decode_all_batch_fn(self, n_pts: int, key_hw=None):
         exact = self.stability_on_upscaled and key_hw is not None
-        key = ('decode_all_batch', n_pts, key_hw if exact else None)
+        # the captured single-sample body carries the gate config, so it
+        # keys this jit too (see _decode_fn)
+        single = self._decode_all_fn(n_pts, key_hw)
+        key = ('decode_all_batch', n_pts, key_hw if exact else None, single)
         if key not in self._jits:
             # reuse the single-sample decode_all body under vmap; embedding
             # keeps its leading 1 so decode_points sees (1, 64, 64, 256)
-            single = self._decode_all_fn(n_pts, key_hw)
 
             def batched(variables, embs, points, valid):
                 return jax.vmap(lambda e: single(variables, e, points,
@@ -889,9 +896,11 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
 
     def _phase1_sharded(self, tiles, crop_boxes, layer_idxs):
         """Per-crop-position stats with the TILE axis sharded over
-        self.mesh: every device encodes/decodes its own tiles (a single
-        chip cannot batch 1024-res ViT-B encodes in HBM; a mesh scales
-        them out with no change in results)."""
+        self.mesh: every device encodes/decodes its own tiles, scaling
+        throughput ~linearly with no change in results (single-chip batching
+        exists too — _phase1_pyramid batches one tile's crop positions
+        through one encode — but the decode's candidate tensors bound how
+        many TILES a 16G chip can fly concurrently; a mesh lifts that)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
         mesh = self.mesh
         axis = mesh.axis_names[0]
@@ -914,10 +923,10 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
             pts_padded = jnp.asarray(np.concatenate(
                 [pts, np.zeros((padp, 2), np.float32)]))
             valid = jnp.asarray(np.arange(pts_padded.shape[0]) < len(pts))
-            # one tile per DEVICE per dispatch: a single chip cannot hold
-            # even two concurrent 1024-res ViT-B encodes (plus the decode's
-            # candidate tensors) in 16G HBM, so larger tile batches go
-            # through as consecutive n_dev-wide sharded dispatches
+            # one tile per DEVICE per dispatch: each tile's decode keeps
+            # its own candidate tensors live, so larger tile batches go
+            # through as consecutive n_dev-wide sharded dispatches instead
+            # of deeper per-device batching
             decode_b = self._decode_all_batch_fn(int(pts_padded.shape[0]),
                                                  (nh, nw, ch, cw))
             stats_b = self._mask_stats_packed_fn((nh, nw, ch, cw))

@@ -796,8 +796,8 @@ def mask_decoder_fast(params, image_embeddings, image_pe, sparse_prompt,
     mask_dtype = mask_dtype or jnp.float32
     # iou head depends only on the transformer output — computed BEFORE
     # the mask head so the IoU gate below can reuse the EXACT array the
-    # caller filters on (no rounding margin needed, unlike the mono
-    # kernel's in-kernel recompute)
+    # caller filters on (the mono path achieves the same by returning its
+    # in-kernel iou head output as the canonical prediction)
     iou_pred = _mlp(params['iou_prediction_head'], iou_token_out, 3,
                     jnp.float32)
     if fused_upscale:

@@ -13,7 +13,7 @@ import os
 import numpy as np
 
 from regda_tpu.datasets import DALoader, get_meta, device_data_enabled
-from regda_tpu.datasets.device_data import get_eval_set
+from regda_tpu.datasets.device_data import DeviceCacheTooLarge, get_eval_set
 from regda_tpu.infer import SegInferencer
 from regda_tpu.utils.metrics import PixelMetricIgnore
 from regda_tpu.utils.viz import VisualizeSegmm
@@ -48,7 +48,7 @@ def evaluate(model, variables, cfg, is_training: bool = False,
     if device_data_enabled(data_cfg):
         try:
             loader = get_eval_set(data_cfg, cfg.DATASETS)
-        except (ValueError, AssertionError) as e:
+        except (ValueError, AssertionError, DeviceCacheTooLarge) as e:
             if logger:
                 logger.warning(f'device eval cache disabled ({e})')
             loader = DALoader(data_cfg, cfg.DATASETS)

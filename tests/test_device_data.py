@@ -211,3 +211,51 @@ def test_eval_cache_keys_on_normalization(tmp_path):
     assert not np.allclose(np.asarray(ta), np.asarray(tb))
     # same config -> same cached instance
     assert get_eval_set(dict(cfg_a), 'IsprsDA') is ea
+
+
+def test_eval_set_honors_cv_fold(tmp_path):
+    """DeviceEvalSet must select the same CV fold DALoader would
+    (regda/datasets/daLoader.py fold semantics), and the cache must key
+    on the fold."""
+    from regda_tpu.datasets.device_data import get_eval_set
+    from regda_tpu.datasets.loader import DALoader
+
+    img_dir, ann_dir = _mini_tree(tmp_path, n=6, hw=12)
+    base = dict(image_dir=[img_dir], mask_dir=[ann_dir],
+                transforms=eval_transforms(MEAN, STD), batch_size=1,
+                num_workers=0, native=False)
+    cfg_fold = dict(base, CV=dict(k=3, i=1))
+    host = DALoader(cfg_fold, 'IsprsDA', seed=2333)
+    dev = get_eval_set(cfg_fold, 'IsprsDA')
+    assert len(dev) == len(host) == 2
+    host_names = [b['fname'][0] for b in host]
+    dev_names = [n for b in dev for n in b['fname']]
+    assert sorted(dev_names) == sorted(host_names)
+    # full split (i=-1) is a different cache entry with all tiles
+    full = get_eval_set(dict(base, CV=dict(k=3, i=-1)), 'IsprsDA')
+    assert full is not dev and len(full) == 6
+
+
+def test_eval_set_budget_guard(tmp_path, monkeypatch):
+    """An over-budget eval split raises DeviceCacheTooLarge (so evaluate()
+    falls back to the host loader) instead of dying in the allocator."""
+    from regda_tpu.datasets.device_data import DeviceCacheTooLarge
+
+    img_dir, ann_dir = _mini_tree(tmp_path, n=2, hw=12)
+    monkeypatch.setenv('REGDA_DEVICE_DATA_BUDGET', '64')
+    cfg = dict(image_dir=[img_dir], mask_dir=[ann_dir],
+               transforms=eval_transforms(MEAN, STD), batch_size=1)
+    with pytest.raises(DeviceCacheTooLarge):
+        DeviceEvalSet(cfg, 'IsprsDA')
+
+
+def test_device_loader_rejects_oversized_crop(tmp_path):
+    """crop > cached tile size is a misconfiguration the host RandomCrop
+    raises on; the device path must surface it, not silently train
+    uncropped."""
+    img_dir, ann_dir = _mini_tree(tmp_path, hw=16)
+    cfg = dict(image_dir=[img_dir], mask_dir=[ann_dir],
+               transforms=train_transforms(MEAN, STD, crop=32),
+               training=True, batch_size=2)
+    with pytest.raises(ValueError, match='exceeds cached tile'):
+        DeviceLoader(cfg, 'IsprsDA')

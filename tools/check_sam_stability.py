@@ -103,16 +103,25 @@ def main():
     all_f, all_e, all_iou = [], [], []
     dec_fast = gen_fast._decode_fn()
     dec_exact = gen_exact._decode_fn((nh, nw, h, w))
+    # pad the grid to a chunk multiple so the tail points are measured
+    # too (and grids smaller than one chunk still work); padded entries
+    # are sliced back off after each decode
+    n_pts = len(pts)
+    padp = (-n_pts) % pb
+    pts_p = np.concatenate([pts, np.zeros((padp, 2), np.float32)])
     for t in tiles:
         emb = gen_fast._encode_fn()(gen_fast.variables,
                                     pre(jnp.asarray(t)))
-        for lo in range(0, len(pts) - pb + 1, pb):
-            chunk = jnp.asarray(pts[lo:lo + pb])
+        for lo in range(0, len(pts_p), pb):
+            keep = 3 * (min(lo + pb, n_pts) - lo)   # 3 masks per point
+            if keep <= 0:
+                break
+            chunk = jnp.asarray(pts_p[lo:lo + pb])
             _, iou_f, st_f = dec_fast(gen_fast.variables, emb, chunk)
             _, _, st_e = dec_exact(gen_exact.variables, emb, chunk)
-            all_f.append(np.asarray(st_f).ravel())
-            all_e.append(np.asarray(st_e).ravel())
-            all_iou.append(np.asarray(iou_f).ravel())
+            all_f.append(np.asarray(st_f).ravel()[:keep])
+            all_e.append(np.asarray(st_e).ravel()[:keep])
+            all_iou.append(np.asarray(iou_f).ravel()[:keep])
     st_f = np.concatenate(all_f)
     st_e = np.concatenate(all_e)
     iou_f = np.concatenate(all_iou)
