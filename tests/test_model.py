@@ -80,3 +80,30 @@ def test_stem_conv_space_to_depth_equals_direct():
         np.testing.assert_allclose(
             np.asarray(new_mod.apply(v, x)),
             np.asarray(ref_mod.apply(v, x)), rtol=1e-4, atol=1e-4)
+
+
+def test_pth_file_roundtrip(tmp_path):
+    """The .pth FILE path tools/eval.py relies on: a torch.save'd
+    state_dict (the reference's checkpoint format,
+    tools/train_src.py:152-158) loads through
+    utils/checkpoint.load_pytree and reproduces the oracle's outputs."""
+    import torch
+
+    from regda_tpu.utils.checkpoint import load_pytree
+    from tests.torch_oracle import Deeplabv2Oracle
+
+    torch.manual_seed(3)
+    oracle = Deeplabv2Oracle('resnet50', num_classes=6)
+    oracle.eval()
+    path = str(tmp_path / 'Vaihingen_best.pth')
+    torch.save(oracle.state_dict(), path)
+
+    variables = jax.tree.map(jnp.asarray, load_pytree(path))
+    model = build_deeplabv2('resnet50', num_classes=6)
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(1, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = oracle(torch.from_numpy(
+            x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
