@@ -21,6 +21,9 @@ run() {
 }
 
 : > "$LOG"
+echo "=== seg-infer bench (driver metric)" | tee -a "$LOG"
+timeout 2400 python bench.py 2>&1 | tail -1 | tee -a "$LOG"
+
 run "two-step (current default)"      REGDA_NO_MONO=1
 run "mono pp=1"                       REGDA_MONO_DECODE=1 REGDA_MONO_PP=1
 run "mono pp=2 (default)"             REGDA_MONO_DECODE=1
