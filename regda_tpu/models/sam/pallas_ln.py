@@ -81,16 +81,27 @@ def _layernorm_fwd_impl(x, scale, bias, eps: float = 1e-6,
     for d in lead:
         rows *= d
     xf = x.reshape(rows, c)
-    rb = rows
+    rb = None
     for cand in (512, 256, 128, 64):
         if rows % cand == 0:
             rb = cand
             break
+    pad = 0
+    if rb is None:
+        # rows has no small power-of-two divisor (e.g. the 5-crop pyramid's
+        # window-padded (5*70*70, 768) = 24500 rows): a single whole-array
+        # block would need ~100 MB of VMEM. Pad to a block multiple instead
+        # — LN is row-independent and zero rows normalize to bias (finite:
+        # rsqrt(0 + eps)), then slice the pad off.
+        rb = 256
+        pad = (-rows) % rb
+        xf = jnp.pad(xf, ((0, pad), (0, 0)))
+    rows_p = rows + pad
     f32 = jnp.float32
     out = pl.pallas_call(
         functools.partial(_kernel, eps=eps),
-        out_shape=jax.ShapeDtypeStruct((rows, c), x.dtype),
-        grid=(rows // rb,),
+        out_shape=jax.ShapeDtypeStruct((rows_p, c), x.dtype),
+        grid=(rows_p // rb,),
         in_specs=[
             pl.BlockSpec((rb, c), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -101,4 +112,6 @@ def _layernorm_fwd_impl(x, scale, bias, eps: float = 1e-6,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(xf, scale.astype(f32)[None], bias.astype(f32)[None])
+    if pad:
+        out = out[:rows]
     return out.reshape(*lead, c)

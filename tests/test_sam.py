@@ -591,6 +591,25 @@ def test_pallas_layernorm_matches_stock():
                                    atol=2e-5)
 
 
+def test_pallas_layernorm_nondivisible_rows():
+    """Row counts with no small power-of-two divisor (the 5-crop pyramid's
+    window-padded (5*70*70, C) = 24500 rows) must pad-and-slice instead of
+    taking the whole array as ONE block — that block form OOM'd the 16 MB
+    scoped VMEM on the real chip (103 MB at (24500, 768))."""
+    from regda_tpu.models.sam.pallas_ln import layernorm, _stock
+    rng = np.random.RandomState(1)
+    for shape in [(5, 70, 70, 256), (3, 196, 128)]:
+        rows = int(np.prod(shape[:-1]))
+        assert all(rows % cand for cand in (512, 256, 128, 64))
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+        w = jnp.asarray(rng.randn(shape[-1]).astype(np.float32))
+        b = jnp.asarray(rng.randn(shape[-1]).astype(np.float32))
+        got = layernorm(x, w, b)
+        want = _stock(x, w, b, 1e-6)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+
 def test_two_way_transformer_dense_fused_equals_stock():
     """The REGDA_FUSED_KEYS ln_project path == the stock dense transformer
     (pallas_keys kernel runs in interpret mode off-TPU)."""
