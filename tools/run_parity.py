@@ -83,6 +83,16 @@ def main():
                          '(tools/lrh_mechanism.py, from the existing '
                          'stage-1 checkpoint) and append the table to '
                          'PARITY.md')
+    ap.add_argument('--only-src', action='store_true',
+                    help='stop after stage 1 + prototype init (used to '
+                         'build a STRONGER source model in a separate '
+                         'REGDA_PARITY_ROOT for the strong-source LRH '
+                         'ablation)')
+    ap.add_argument('--section-label', default='',
+                    help='suffix for the PARITY.md section written by '
+                         '--lrh-seeds / --mechanism, so variant studies '
+                         '(e.g. a strong-source run) get their own '
+                         'section instead of overwriting the default one')
     args = ap.parse_args()
 
     root = os.environ.get('REGDA_PARITY_ROOT', '/tmp/regda_parity_smoke')
@@ -118,8 +128,11 @@ def main():
         with open(out) as f:
             m = json.load(f)
         b, a, t = m['before'], m['after'], m['transitions']
+        heading = 'LRH mechanism (pseudo-label quality vs ground truth)'
+        if args.section_label:
+            heading += f' ({args.section_label})'
         section = [
-            '', '## LRH mechanism (pseudo-label quality vs ground truth)',
+            '', f'## {heading}',
             '',
             'The stage-2 pipeline (refine -> pseudo_selection -> '
             'homogenize) scored against GT on the target train tiles, '
@@ -150,9 +163,7 @@ def main():
         with open(path) as f:
             body = f.read()
         with open(path, 'w') as f:
-            f.write(replace_section(
-                body, 'LRH mechanism (pseudo-label quality vs ground '
-                'truth)', section))
+            f.write(replace_section(body, heading, section))
         print('\n'.join(section))
         return
 
@@ -181,8 +192,31 @@ def main():
                   f'delta={full - nolrh:+.4f}', flush=True)
         import numpy as np
         d = np.asarray(deltas)
+        heading = 'LRH ablation, seed variance'
+        if args.section_label:
+            heading += f' ({args.section_label})'
+        if d.mean() > 0:
+            reading = (
+                f'- mean delta **{d.mean():+.4f}**, std {d.std():.4f} — '
+                'LRH helps at this operating point, consistent with the '
+                'LRH-mechanism section: filled pixels inherit the '
+                'region-majority accuracy, which scales with source-model '
+                'quality.')
+        else:
+            reading = (
+                f'- mean delta **{d.mean():+.4f}**, std {d.std():.4f} — a '
+                'small consistent negative on this 64px synthetic set: '
+                'the LRH-mechanism section shows why (LRH\'s fills are '
+                'noisy when the stage-1 model is weak). The reference '
+                'demonstrates the positive end-metric effect on real '
+                'ISPRS data (unavailable here).')
+        repro = (f'Reproduce: `python tools/run_parity.py --lrh-seeds '
+                 f'{len(d)} --steps {s} --start-at align`')
+        if args.section_label:
+            repro += (f' with `--section-label "{args.section_label}"` '
+                      'and the matching REGDA_PARITY_ROOT workspace')
         section = [
-            '', '## LRH ablation, seed variance',
+            '', f'## {heading}',
             '',
             f'Stage-2 full vs no-LRH over {len(d)} seeds '
             f'(steps={s}, same stage-1 checkpoint):',
@@ -191,23 +225,16 @@ def main():
         ] + [f'| {i} | {f_:.4f} | {n:.4f} | {f_ - n:+.4f} |'
              for i, (f_, n) in enumerate(pairs)] + [
             '',
-            f'- mean delta **{d.mean():+.4f}**, std {d.std():.4f} — a '
-            'small consistent negative on this 64px synthetic set: the '
-            'LRH-mechanism section shows why (LRH\'s fills are noisy '
-            'when the stage-1 model is weak). The reference demonstrates '
-            'the positive end-metric effect on real ISPRS data '
-            '(unavailable here).',
+            reading,
             '',
-            f'Reproduce: `python tools/run_parity.py --lrh-seeds '
-            f'{len(d)} --steps {s} --start-at align`.',
+            repro + '.',
             '',
         ]
         path = os.path.join(REPO, 'PARITY.md')
         with open(path) as f:
             body = f.read()
         with open(path, 'w') as f:
-            f.write(replace_section(body, 'LRH ablation, seed variance',
-                                    section))
+            f.write(replace_section(body, heading, section))
         print('\n'.join(section))
         return
 
@@ -218,6 +245,11 @@ def main():
             '--ckpt-model', f'{src_log}/src/Vaihingen_best.ckpt',
             '--ckpt-proto', f'{src_log}/src/prototypes_best.ckpt',
             '--stage', '1'], '', env, s)
+    if args.only_src:
+        miou, it = read_miou(root, '', 'src')
+        print(f'stage-1 only: best mIoU {miou:.4f} at iter {it} '
+              f'(workspace {root})')
+        return
 
     # ---- stage 2 variants (all from the SAME stage-1 checkpoint) ---------
     s2_common = ['--ckpt-model', f'{src_log}/src/Vaihingen_best.ckpt',
