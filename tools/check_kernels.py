@@ -118,6 +118,21 @@ def main():
     want = _upscale_stock(src, hyper, k1, b1, lnw, lnb, k2, b2, jnp.float32)
     check('fused upscale+hyper mask head', got, want, rtol, atol)
 
+    # ---- 4b. upscale with per-prompt active flags (the two-step IoU
+    # gate). The flags ride SMEM — interpret mode can't see Mosaic's
+    # block-shape rules, so this MUST compile on the chip (a rank-1 (1,)
+    # SMEM block at (B,) crashed real crop-1 runs while interpret passed)
+    act = jnp.asarray((np.arange(p) % 2).astype(np.int32))
+    gotg = upscale_hyper_masks(src, hyper, k1, b1, lnw, lnb, k2, b2,
+                               out_dtype=jnp.float32,
+                               interpret=not on_tpu, active=act)
+    m_act = np.asarray(act, bool)[:, None, None, None]
+    check('upscale active-gated (kept rows)',
+          np.asarray(gotg) * m_act, np.asarray(want) * m_act, rtol, atol)
+    check('upscale active-gated (skipped rows zero)',
+          np.asarray(gotg) * (~m_act), np.zeros_like(np.asarray(want)),
+          0.0, 1e-12)
+
     # ---- 5. ln_project (fused keys pipeline) --------------------------
     from regda_tpu.models.sam.pallas_keys import (ln_project,
                                                   _ln_project_stock)
@@ -167,6 +182,21 @@ def main():
           0, 0.5)
     check('mask_stats areas', areas, np.asarray(want_areas, np.float32),
           0, 0.5)
+
+    # ---- 5c. count-aware stats (active slots only; skipped slots are
+    # documented garbage, so only active rows are compared). Like 4b the
+    # flags ride SMEM — chip-only lowering rules apply.
+    act_s = jnp.asarray((np.arange(ms) % 2).astype(np.int32))
+    packed_g, boxes_g, areas_g = mask_stats_fused(lg, size, nh2, nw2,
+                                                  interpret=not on_tpu,
+                                                  active=act_s)
+    rows = np.asarray(act_s, bool)
+    check('mask_stats active-gated bits', np.asarray(packed_g)[rows],
+          np.packbits(masks_w.astype(np.uint8), axis=-1)[rows], 0, 0.5)
+    check('mask_stats active-gated boxes', np.asarray(boxes_g)[rows],
+          np.asarray(want_boxes, np.float32)[rows], 0, 0.5)
+    check('mask_stats active-gated areas', np.asarray(areas_g)[rows],
+          np.asarray(want_areas, np.float32)[rows], 0, 0.5)
 
     # ---- 6. prompt-resident fused two-way transformer ------------------
     from regda_tpu.models.sam.pallas_twoway import (NP, two_way_fused,
