@@ -39,10 +39,12 @@ class DeeplabV2(nn.Module):
     use_ppm: bool = True
     is_ins_norm: bool = True
     fc_dim: int = 2048
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.encoder = ResNetEncoder(self.resnet_type, self.output_stride,
+                                     remat=self.remat,
                                      dtype=self.dtype, name='encoder')
         head = (lambda name: PPMBilinear(self.num_classes, self.fc_dim,
                                          dtype=self.dtype, name=name)

@@ -9,8 +9,12 @@ layer3+4 (OS=8) converted to stride-1 with dilation (resnet.py:192-207's
 
 TPU-first: channel-last layout throughout (MXU-friendly), BatchNorm batch
 stats computed over the (globally sharded) batch so data-parallel training
-syncs stats for free under GSPMD; gradient checkpointing per stage is done
-with jax.checkpoint at the train-step level rather than module flags.
+syncs stats for free under GSPMD. Optional gradient checkpointing
+(`remat=True`, the reference's `with_cp` at resnet.py:140-168) wraps every
+residual block in nn.remat, so the backward pass recomputes block
+activations instead of storing them — per-block granularity bounds live
+activations tighter than the reference's per-stage torch.utils.checkpoint
+while computing identical gradients (asserted in tests/test_model.py).
 """
 
 from __future__ import annotations
@@ -158,6 +162,7 @@ class ResNetEncoder(nn.Module):
     """Returns [c2, c3, c4, c5] feature maps, channel-last."""
     resnet_type: str = 'resnet101'
     output_stride: int = 16
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -165,6 +170,10 @@ class ResNetEncoder(nn.Module):
         depths = RESNET_DEPTHS[self.resnet_type]
         block_cls = BasicBlock if self.resnet_type in BASIC_BLOCK_TYPES else Bottleneck
         expansion = 1 if self.resnet_type in BASIC_BLOCK_TYPES else 4
+        if self.remat:
+            # arg 0 is the module instance under the lifted transform;
+            # train (arg 2) is a Python bool and must stay static
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
 
         x = StemConv(64, dtype=self.dtype, name='conv1')(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -187,7 +196,7 @@ class ResNetEncoder(nn.Module):
                     has_proj=is_first and (stride != 1 or in_ch != planes * expansion),
                     dtype=self.dtype,
                     name=f'layer{stage_idx}_{b}',
-                )(x, train=train)
+                )(x, train)  # positional: static_argnums under remat
                 in_ch = planes * expansion
             planes *= 2
             feats.append(x)

@@ -107,3 +107,36 @@ def test_pth_file_roundtrip(tmp_path):
             x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
     got = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_remat_grads_match_no_remat():
+    """remat=True (the reference's with_cp, regda/resnet.py:140-168) must
+    change memory scheduling only: identical forward outputs and identical
+    parameter gradients vs the plain model."""
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 32, 3),
+                    jnp.float32)
+    labels = jnp.asarray(np.random.RandomState(1).randint(0, 6, (2, 2, 2)))
+
+    plain = build_deeplabv2('resnet18', num_classes=6, remat=False)
+    ckpt = build_deeplabv2('resnet18', num_classes=6, remat=True)
+    variables = plain.init({'params': jax.random.PRNGKey(0)}, x, train=False)
+
+    def loss_fn(model):
+        def f(params):
+            (p1, p2, _), _ = model.apply(
+                {'params': params,
+                 'batch_stats': variables['batch_stats']},
+                x, train=True, mutable=['batch_stats'],
+                rngs={'dropout': jax.random.PRNGKey(7)})
+            logits = (p1 + p2).reshape(-1, 6)
+            onehot = jax.nn.one_hot(labels.reshape(-1), 6)
+            return -(onehot * jax.nn.log_softmax(logits)).sum()
+        return f
+
+    loss_p, grads_p = jax.value_and_grad(loss_fn(plain))(variables['params'])
+    loss_c, grads_c = jax.value_and_grad(loss_fn(ckpt))(variables['params'])
+    np.testing.assert_allclose(float(loss_c), float(loss_p), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-5, atol=1e-6),
+        grads_c, grads_p)

@@ -53,7 +53,10 @@ def read_miou(root, tag, stage_dir):
 def replace_section(body: str, heading: str, section_lines) -> str:
     """Replace (or append) the `## heading` section of PARITY.md, leaving
     every other section intact."""
-    marker = f'\n## {heading}'
+    # anchor to the FULL heading line: a bare prefix match would delete a
+    # previously written '--section-label' variant (e.g. '## LRH ablation,
+    # seed variance (strong source)') when the unlabeled study reruns
+    marker = f'\n## {heading}\n'
     if marker in body:
         start = body.index(marker)
         nxt = body.find('\n## ', start + 1)
@@ -156,7 +159,10 @@ def main():
             'with a strong source model (the real-data regime) the fills '
             'inherit the majority\'s accuracy.',
             '',
-            'Reproduce: `python tools/run_parity.py --mechanism`.',
+            'Reproduce: `python tools/run_parity.py --mechanism`'
+            + ((f' with `--section-label "{args.section_label}"` and the '
+                'matching REGDA_PARITY_ROOT workspace')
+               if args.section_label else '') + '.',
             '',
         ]
         path = os.path.join(REPO, 'PARITY.md')

@@ -64,7 +64,8 @@ def main():
     meta = get_meta(cfg.DATASETS)
     stop_steps = cfg.STAGE2_STEPS
 
-    model = build_deeplabv2(cfg.MODEL, meta.num_classes)
+    model = build_deeplabv2(cfg.MODEL, meta.num_classes,
+                            remat=getattr(cfg, 'REMAT', False))
     tx = make_optimizer(cfg.LEARNING_RATE, stop_steps, momentum=cfg.MOMENTUM,
                         weight_decay=cfg.WEIGHT_DECAY, power=cfg.POWER)
     variables = load_pytree(args.ckpt_model)

@@ -51,7 +51,8 @@ def main():
     meta = get_meta(cfg.DATASETS)
     stop_steps = cfg.STAGE1_STEPS
 
-    model = build_deeplabv2(cfg.MODEL, meta.num_classes)
+    model = build_deeplabv2(cfg.MODEL, meta.num_classes,
+                            remat=getattr(cfg, 'REMAT', False))
     tx = make_optimizer(cfg.LEARNING_RATE, stop_steps,
                         momentum=cfg.MOMENTUM, weight_decay=cfg.WEIGHT_DECAY,
                         power=cfg.POWER)
