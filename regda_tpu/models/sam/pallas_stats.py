@@ -40,7 +40,9 @@ def _kernel(active_ref, logit_ref, uh_ref, uwt_ref, packw_ref,
     # assigns paint ids to ok candidates, and the box/area filter is
     # ANDed with ok) — skip their ~27 us of 1024^2 work entirely. The
     # tiny logit-block DMA still happens; compute and output writes don't.
-    @pl.when(active_ref[0, 0] != 0)
+    # active lives whole in SMEM (Mosaic rejects sub-(8,128) blocked
+    # specs even there), indexed by the mask program id.
+    @pl.when(active_ref[pl.program_id(0)] != 0)
     def _():
         _stats_body(logit_ref, uh_ref, uwt_ref, packw_ref,
                     packed_ref, stats_ref, nh=nh, nw=nw)
@@ -133,7 +135,7 @@ def mask_stats_fused(logits, size: int, nh: int, nw: int,
         out_shape=[jax.ShapeDtypeStruct((m, size, size // 8), jnp.int32),
                    jax.ShapeDtypeStruct((m, 1, 128), jnp.float32)],
         grid=(m,),
-        in_specs=[pl.BlockSpec((1, 1), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((m,), lambda i: (0,),
                                memory_space=pltpu.SMEM),
                   pl.BlockSpec((1, s, s), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -146,7 +148,7 @@ def mask_stats_fused(logits, size: int, nh: int, nw: int,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(active[:, None], logits, uh, uwt, packw)
+    )(active, logits, uh, uwt, packw)
     st = stats[:, 0, :]
     boxes = jnp.stack([st[:, 2], st[:, 0], st[:, 3], st[:, 1]], axis=1)
     return packed.astype(jnp.uint8), boxes, st[:, 4]
