@@ -53,9 +53,13 @@ def _conv(arr):
 
 
 def _deconv(arr):
-    # torch ConvTranspose2d weight (in, out, kh, kw) -> flax (kh, kw, out, in)?
-    # flax ConvTranspose kernel shape is (kh, kw, in, out)
-    return arr.transpose(2, 3, 0, 1)
+    # torch ConvTranspose2d weight (in, out, kh, kw) -> flax ConvTranspose
+    # kernel (kh, kw, in, out). torch's semantics place W[..., dy, dx] at
+    # output offset (dy, dx); lax.conv_transpose applies its kernel
+    # spatially FLIPPED, so the taps must flip to land at the same offsets
+    # (caught by tests/test_sam_oracle.py against the upstream-faithful
+    # torch oracle: without the flip, each 2x2 upscale block is mirrored).
+    return arr[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)
 
 
 def convert_sam_checkpoint(state: Mapping[str, np.ndarray]) -> dict:
