@@ -40,9 +40,11 @@ def _kernel(active_ref, logit_ref, uh_ref, uwt_ref, packw_ref,
     # assigns paint ids to ok candidates, and the box/area filter is
     # ANDed with ok) — skip their ~27 us of 1024^2 work entirely. The
     # tiny logit-block DMA still happens; compute and output writes don't.
-    # active lives whole in SMEM (Mosaic rejects sub-(8,128) blocked
-    # specs even there), indexed by the mask program id.
-    @pl.when(active_ref[pl.program_id(0)] != 0)
+    # active arrives as a (1, 1, 128) VMEM row per program: the only
+    # flag layout that passes Mosaic's block rules BOTH unbatched and
+    # under vmap (SMEM/sub-(8,128) blocked specs are rejected, and vmap
+    # prepends a Squeezed dim that breaks 1-D full-array SMEM specs).
+    @pl.when(active_ref[0, 0, 0] != 0)
     def _():
         _stats_body(logit_ref, uh_ref, uwt_ref, packw_ref,
                     packed_ref, stats_ref, nh=nh, nw=nw)
@@ -135,8 +137,8 @@ def mask_stats_fused(logits, size: int, nh: int, nw: int,
         out_shape=[jax.ShapeDtypeStruct((m, size, size // 8), jnp.int32),
                    jax.ShapeDtypeStruct((m, 1, 128), jnp.float32)],
         grid=(m,),
-        in_specs=[pl.BlockSpec((m,), lambda i: (0,),
-                               memory_space=pltpu.SMEM),
+        in_specs=[pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, s, s), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
                   const((size, s)), const((s, size)),
@@ -148,7 +150,8 @@ def mask_stats_fused(logits, size: int, nh: int, nw: int,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(active, logits, uh, uwt, packw)
+    )(jnp.broadcast_to(active[:, None, None], (m, 1, 128)),
+      logits, uh, uwt, packw)
     st = stats[:, 0, :]
     boxes = jnp.stack([st[:, 2], st[:, 0], st[:, 3], st[:, 1]], axis=1)
     return packed.astype(jnp.uint8), boxes, st[:, 4]

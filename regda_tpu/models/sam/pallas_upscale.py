@@ -65,10 +65,12 @@ def _kernel(active_ref, src_ref, k1_ref, b1_ref, m_ref, lnw_ref, lnb_ref,
     # per-prompt gate (everything-mode IoU prefilter): skipped prompts
     # write ZERO blocks — the caller's candidate selection runs a one-hot
     # matmul over ALL rows, so garbage (unlike the stats kernel's) would
-    # propagate through the 0-weighted lanes if it held NaN. active lives
-    # whole in SMEM (Mosaic rejects sub-(8,128) blocked specs even there)
-    # and is indexed by the prompt program id.
-    flag = active_ref[pl.program_id(0)]
+    # propagate through the 0-weighted lanes if it held NaN. active
+    # arrives as a (1, 1, 128) VMEM row per program — the only flag
+    # layout that passes Mosaic's block rules BOTH unbatched and under
+    # vmap (SMEM/sub-(8,128) blocked specs are rejected, and vmap
+    # prepends a Squeezed dim that breaks 1-D full-array SMEM specs).
+    flag = active_ref[0, 0, 0]
 
     @pl.when(flag != 0)
     def _():
@@ -232,8 +234,8 @@ def _upscale_fwd_impl(src, hyper_in, k1, b1, lnw, lnb, k2, b2,
         out_shape=jax.ShapeDtypeStruct((b, h * w, m * 16), out_dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((b,), lambda i, r: (0,),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 128), lambda i, r: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, pix, c), lambda i, r: (i, r, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(k1.shape, lambda i, r: (0, 0),
@@ -256,7 +258,8 @@ def _upscale_fwd_impl(src, hyper_in, k1, b1, lnw, lnb, k2, b2,
         out_specs=pl.BlockSpec((1, pix, m * 16), lambda i, r: (i, r, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(active, src_flat, k1, b1.astype(f32), pool_m, lnw_t,
+    )(jnp.broadcast_to(active[:, None, None], (b, 1, 128)),
+      src_flat, k1, b1.astype(f32), pool_m, lnw_t,
       lnb_t, k2bd, b2_t, hbd)
     # depth-to-space on the blocked masks: col = (m, dy, dx, gy, gx)
     return _interleave(out, b, h, w, m)
