@@ -122,3 +122,39 @@ def test_stage2_step_sharded_mesh():
     # spinning participants — XLA CPU's rendezvous livelock odds on this
     # 1-core box grow steeply with thread count under load.
     entrymod.dryrun_multichip(4)
+
+
+def test_stage1_and_stage3_sharded_mesh():
+    """Stage-1 and stage-3 steps over the (2 data x 2 spatial) CPU mesh,
+    with the cross-step mutable state (prototypes, class-freq EMAs, GHM
+    bins) asserted bit-identical across device shards and — for the UVEM
+    variant — equal to an unsharded run (SURVEY.md §2.7's
+    replicated-mutable-state contract). Child process + flake retry for
+    the same reason as test_stage2_step_sharded_mesh."""
+    import subprocess
+    import sys
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    child = os.path.join(root, 'tests', 'sharded_stages_child.py')
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    env.pop('PALLAS_AXON_POOL_IPS', None)
+    flags = env.get('XLA_FLAGS', '')
+    if 'host_platform_device_count' not in flags:
+        env['XLA_FLAGS'] = (
+            flags + ' --xla_force_host_platform_device_count=4').strip()
+    last = None
+    for attempt in range(4):
+        res = subprocess.run([sys.executable, child, '4'], env=env,
+                             cwd=root, capture_output=True, text=True,
+                             timeout=1500)
+        if res.returncode == 0:
+            assert 'OK' in res.stdout
+            return
+        last = res
+        flake = (res.returncode < 0
+                 or 'rendezvous' in res.stderr.lower()
+                 or 'Terminating process' in res.stderr)
+        if not flake:
+            break
+    raise AssertionError(
+        f'sharded_stages_child failed (rc={last.returncode}):\n'
+        f'{last.stdout}{last.stderr[-2000:]}')
