@@ -39,6 +39,15 @@ def main():
                     .normal(size=(batch, 512, 512, 3)).astype(np.float32))
     variables = model.init({'params': rng}, x[:1], train=False)
 
+    # deploy-time BN folding (models/fold_bn.py): every BatchNorm's eval
+    # affine is pre-folded into the preceding conv kernel, exactly what
+    # SegInferencer does for real eval/inference — the timed forward is a
+    # pure conv+bias graph (REGDA_NO_FOLD_BN=1 reverts)
+    if os.environ.get('REGDA_NO_FOLD_BN') != '1':
+        from regda_tpu.models.fold_bn import fold_batchnorm_jit, folded_model
+        model = folded_model(model)
+        variables = fold_batchnorm_jit(variables)
+
     # The timing loop feeds each output back into the next input: on this
     # machine's tunneled TPU backend block_until_ready() returns before
     # execution finishes, so a data dependency chain + final host read is the

@@ -23,12 +23,25 @@ class SegInferencer:
     def __init__(self, model, variables, num_classes: int,
                  tile: int = 512, stride: int = 256,
                  compute_dtype: Optional[jnp.dtype] = None,
-                 mesh=None):
+                 mesh=None, fold_bn: Optional[bool] = None):
         """mesh: optional jax.sharding.Mesh with a 'data' axis. When given,
         model variables are replicated across it and prediction batches are
         sharded over 'data' (GSPMD inserts the gathers) — multi-chip eval /
         pseudo-generation, a capability the single-GPU reference lacks
-        (SURVEY.md §2.7). The batch must divide the 'data' axis size."""
+        (SURVEY.md §2.7). The batch must divide the 'data' axis size.
+
+        fold_bn: fold every BatchNorm's eval affine into the preceding
+        conv kernel (models/fold_bn.py) — same math regrouped, removes the
+        per-pixel BN work from the hot path. Default: on for models that
+        support it (REGDA_NO_FOLD_BN=1 disables)."""
+        import os as _os
+        if fold_bn is None:
+            fold_bn = (_os.environ.get('REGDA_NO_FOLD_BN') != '1'
+                       and getattr(model, 'folded', None) is False)
+        self.fold_bn = fold_bn
+        if fold_bn:
+            from regda_tpu.models.fold_bn import folded_model
+            model = folded_model(model)
         self.model = model
         self.mesh = mesh
         self.num_classes = num_classes
@@ -89,6 +102,10 @@ class SegInferencer:
                           ).astype(np.int32)
 
     def update_variables(self, variables):
+        if (self.fold_bn and variables is not None
+                and 'batch_stats' in variables):
+            from regda_tpu.models.fold_bn import fold_batchnorm_jit
+            variables = fold_batchnorm_jit(variables)
         if self.mesh is not None and variables is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             self.variables = jax.device_put(

@@ -40,13 +40,17 @@ class DeeplabV2(nn.Module):
     is_ins_norm: bool = True
     fc_dim: int = 2048
     remat: bool = False
+    # inference-only: BN affines pre-folded into conv kernels
+    # (models/fold_bn.py); use folded_model(model) + fold_batchnorm(vars)
+    folded: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.encoder = ResNetEncoder(self.resnet_type, self.output_stride,
-                                     remat=self.remat,
+                                     remat=self.remat, folded=self.folded,
                                      dtype=self.dtype, name='encoder')
         head = (lambda name: PPMBilinear(self.num_classes, self.fc_dim,
+                                         folded=self.folded,
                                          dtype=self.dtype, name=name)
                 ) if self.use_ppm else (
                 lambda name: ASPPClassifier(self.num_classes, dtype=self.dtype,

@@ -21,14 +21,14 @@ class PPMBilinear(nn.Module):
     fc_dim: int = 2048
     pool_scales: tuple[int, ...] = (1, 2, 3, 6)
     dropout_rate: float = 0.1
+    folded: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, conv_out, train: bool = False):
+        from regda_tpu.models.resnet import _norm_factory
         h, w = conv_out.shape[1:3]
-        norm = lambda name: nn.BatchNorm(use_running_average=not train,
-                                         momentum=0.9, epsilon=1e-5,
-                                         dtype=self.dtype, name=name)
+        norm = _norm_factory(self.folded, train, self.dtype)
         outs = [conv_out]
         for i, scale in enumerate(self.pool_scales):
             y = adaptive_avg_pool(conv_out, (scale, scale))

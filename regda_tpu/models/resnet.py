@@ -25,6 +25,20 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from regda_tpu.models.fold_bn import FoldedBias
+
+
+def _norm_factory(folded: bool, train: bool, dtype):
+    """BatchNorm, or (folded inference) the bias-add remnant of a BN whose
+    affine was folded into the preceding conv (models/fold_bn.py)."""
+    if folded:
+        assert not train, 'folded models are inference-only'
+        return lambda name: FoldedBias(dtype=dtype, name=name)
+    return lambda name: nn.BatchNorm(use_running_average=not train,
+                                     momentum=0.9, epsilon=1e-5,
+                                     dtype=dtype, name=name)
+
+
 # layers per stage
 RESNET_DEPTHS = {
     'resnet18': (2, 2, 2, 2),
@@ -42,13 +56,12 @@ class Bottleneck(nn.Module):
     stride: int = 1
     dilation: int = 1
     has_proj: bool = False
+    folded: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = lambda name: nn.BatchNorm(use_running_average=not train,
-                                         momentum=0.9, epsilon=1e-5,
-                                         dtype=self.dtype, name=name)
+        norm = _norm_factory(self.folded, train, self.dtype)
         identity = x
         y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
                     name='conv1')(x)
@@ -77,13 +90,12 @@ class BasicBlock(nn.Module):
     stride: int = 1
     dilation: int = 1
     has_proj: bool = False
+    folded: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = lambda name: nn.BatchNorm(use_running_average=not train,
-                                         momentum=0.9, epsilon=1e-5,
-                                         dtype=self.dtype, name=name)
+        norm = _norm_factory(self.folded, train, self.dtype)
         identity = x
         y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
                     padding=[(self.dilation, self.dilation)] * 2,
@@ -163,6 +175,7 @@ class ResNetEncoder(nn.Module):
     resnet_type: str = 'resnet101'
     output_stride: int = 16
     remat: bool = False
+    folded: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -176,8 +189,7 @@ class ResNetEncoder(nn.Module):
             block_cls = nn.remat(block_cls, static_argnums=(2,))
 
         x = StemConv(64, dtype=self.dtype, name='conv1')(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name='bn1')(x)
+        x = _norm_factory(self.folded, train, self.dtype)('bn1')(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
 
@@ -194,6 +206,7 @@ class ResNetEncoder(nn.Module):
                     stride=stride if is_first else 1,
                     dilation=first_dil if is_first else rest_dil,
                     has_proj=is_first and (stride != 1 or in_ch != planes * expansion),
+                    folded=self.folded,
                     dtype=self.dtype,
                     name=f'layer{stage_idx}_{b}',
                 )(x, train)  # positional: static_argnums under remat

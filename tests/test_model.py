@@ -140,3 +140,51 @@ def test_remat_grads_match_no_remat():
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                                 rtol=1e-5, atol=1e-6),
         grads_c, grads_p)
+
+
+def test_fold_bn_matches_unfolded_eval():
+    """models/fold_bn.py: the folded (BN-affine-into-conv) eval forward
+    equals the stock eval forward up to float regrouping, with non-trivial
+    running stats (a few train steps mutate batch_stats first), through
+    both the encoder BNs and the PPM head BNs."""
+    from regda_tpu.models.fold_bn import fold_batchnorm, folded_model
+
+    model = build_deeplabv2('resnet18', num_classes=6)
+    rng = np.random.default_rng(7)
+    x0 = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    variables = model.init({'params': jax.random.PRNGKey(3)}, x0[:1],
+                           train=False)
+    for i in range(3):  # non-trivial running mean/var
+        _, upd = model.apply(
+            variables, x0 * (i + 1) + i, train=True, mutable=['batch_stats'],
+            rngs={'dropout': jax.random.PRNGKey(i)})
+        variables = {'params': variables['params'], **upd}
+
+    want = np.asarray(model.apply(variables, x0, train=False))
+    fvars = fold_batchnorm(variables)
+    assert 'batch_stats' not in fvars
+    got = np.asarray(folded_model(model).apply(fvars, x0, train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_seg_inferencer_folds_by_default():
+    """SegInferencer applies BN folding by default and predicts the same
+    probabilities as the unfolded model."""
+    from regda_tpu.infer import SegInferencer
+
+    model = build_deeplabv2('resnet18', num_classes=6)
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    variables = model.init({'params': jax.random.PRNGKey(4)},
+                           jnp.asarray(x), train=False)
+    _, upd = model.apply(variables, jnp.asarray(x), train=True,
+                         mutable=['batch_stats'],
+                         rngs={'dropout': jax.random.PRNGKey(0)})
+    variables = {'params': variables['params'], **upd}
+
+    inf = SegInferencer(model, variables, 6)
+    assert inf.fold_bn and inf.model.folded
+    assert 'batch_stats' not in inf.variables
+    probs = inf.predict_probs(x, slide=False)
+    want = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(probs, want, rtol=1e-4, atol=1e-5)
