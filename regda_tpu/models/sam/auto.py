@@ -16,14 +16,13 @@ TPU-first pipeline per crop:
      (padded to a static mask budget) and transferred once;
   5. greedy box-NMS + region-id packing on host numpy (cheap, tiny data).
 
-Note: by default, stability scores are computed on the 256x256 logits
-rather than the full-res upscaled logits (the original does the latter);
-the ratio is scale-invariant to first order and avoids materializing every
-candidate at full resolution. Pass stability_on_upscaled=True (or set
-REGDA_SAM_EXACT_STABILITY=1) for exact upstream parity — the resize chain
-is composed into one (crop, 256) matrix per axis and counting happens at
-crop resolution. Divergence between the two modes is quantified by
-tools/check_sam_stability.py (numbers in PERF.md).
+Note: by default, stability scores are computed exactly as upstream does —
+on the logits upscaled to crop resolution (the resize chain is composed
+into one (crop, 256) matrix per axis, so it costs one extra matmul pair
+per candidate batch). Pass stability_on_upscaled=False (or set
+REGDA_SAM_FAST_STABILITY=1) to score the 256x256 low-res logits directly —
+scale-invariant to first order and cheaper, but a deviation from upstream;
+the divergence is quantified by tools/check_sam_stability.py (PERF.md).
 """
 
 from __future__ import annotations
@@ -237,18 +236,25 @@ class SamAutomaticMaskGenerator:
         self.compute_dtype = compute_dtype
         self.img_size = model.img_size
         if stability_on_upscaled is None:
-            stability_on_upscaled = bool(
-                _os.environ.get('REGDA_SAM_EXACT_STABILITY'))
-        # exact-parity stability: upstream segment-anything computes the
-        # stability score on logits POSTPROCESSED to the original crop
-        # resolution (256 -> 1024 -> unpad -> crop size, bilinear), while
-        # the fast default scores the 256x256 low-res logits directly
-        # (scale-invariant to first order; divergence quantified in
-        # tools/check_sam_stability.py / PERF.md). The exact mode composes
-        # the resize chain into one (crop, 256) matrix per axis and counts
-        # on the crop-resolution logits — upstream behavior as pinned by
-        # /root/reference/requirement.txt:147 and configured at
-        # local_region_homog.py:32-39.
+            # parity by DEFAULT (same polarity as every other parity
+            # switch in the repo): REGDA_SAM_FAST_STABILITY=1 opts into
+            # the low-res fast path; the legacy REGDA_SAM_EXACT_STABILITY
+            # spelling still forces exact.
+            if _os.environ.get('REGDA_SAM_EXACT_STABILITY'):
+                stability_on_upscaled = True
+            else:
+                stability_on_upscaled = not bool(
+                    _os.environ.get('REGDA_SAM_FAST_STABILITY'))
+        # exact-parity stability (the default): upstream segment-anything
+        # computes the stability score on logits POSTPROCESSED to the
+        # original crop resolution (256 -> 1024 -> unpad -> crop size,
+        # bilinear), while the fast opt-in scores the 256x256 low-res
+        # logits directly (scale-invariant to first order; divergence
+        # quantified in tools/check_sam_stability.py / PERF.md). The exact
+        # mode composes the resize chain into one (crop, 256) matrix per
+        # axis and counts on the crop-resolution logits — upstream
+        # behavior as pinned by /root/reference/requirement.txt:147 and
+        # configured at local_region_homog.py:32-39.
         self.stability_on_upscaled = stability_on_upscaled
         self._jits: dict = {}
 
@@ -292,7 +298,14 @@ class SamAutomaticMaskGenerator:
         gate = (float(self.pred_iou_thresh)
                 if _os.environ.get('REGDA_SAM_IOU_GATE')
                 or _os.environ.get('REGDA_MONO_IOU_GATE') else None)
-        key = ('decode', key_hw if exact else None, gate)
+        # exact-parity stability runs as a fused Pallas kernel on TPU
+        # (pallas_stability.py): both composed-resize matmuls stay in
+        # VMEM and only two counts per candidate leave the core, vs the
+        # XLA scan's HBM round-trips of every (group, crop, crop) block
+        stabk = (exact and jax.default_backend() == 'tpu'
+                 and not _os.environ.get('REGDA_NO_PALLAS')
+                 and not _os.environ.get('REGDA_NO_STAB_KERNEL'))
+        key = ('decode', key_hw if exact else None, gate, stabk)
         if key not in self._jits:
             off = self.stability_score_offset
             dt = self.compute_dtype
@@ -315,31 +328,31 @@ class SamAutomaticMaskGenerator:
                 # (P, 3, 256, 256), (P, 3)
                 if exact:
                     # upstream parity: stability on crop-resolution logits
-                    # (group-scanned so only G masks are ever upscaled)
                     p, m3, s, _ = masks.shape
                     m_np = self._exact_stability_matrices(key_hw, s)
                     m_h = jnp.asarray(m_np[0])
                     m_w = jnp.asarray(m_np[1])
                     flat = masks.reshape(p * m3, s, s)
-                    g = 24
-                    padg = (-flat.shape[0]) % g
-                    flat = jnp.pad(flat, ((0, padg), (0, 0), (0, 0)))
-                    grps = flat.reshape(-1, g, s, s)
-
-                    def body(carry, grp):
-                        y = jnp.einsum('hs,gsw->ghw', m_h.astype(grp.dtype),
-                                       grp, preferred_element_type=jnp.float32)
-                        y = jnp.einsum('ghw,cw->ghc',
-                                       y.astype(grp.dtype),
-                                       m_w.astype(grp.dtype),
-                                       preferred_element_type=jnp.float32)
-                        i = (y > off).sum(axis=(-2, -1), dtype=jnp.float32)
-                        u = (y > -off).sum(axis=(-2, -1), dtype=jnp.float32)
-                        return carry, (i, u)
-
-                    _, (inter, union) = jax.lax.scan(body, 0, grps)
-                    inter = inter.reshape(-1)[:p * m3].reshape(p, m3)
-                    union = union.reshape(-1)[:p * m3].reshape(p, m3)
+                    if stabk:
+                        from regda_tpu.models.sam.pallas_stability import (
+                            stability_counts_fused)
+                        # with the IoU gate on, candidates the downstream
+                        # filter drops by pred_iou_thresh skip their
+                        # resize work; their garbage counts are ANDed out
+                        # by the filter's `iou > t_iou` term (dec_all)
+                        act = ((iou > gate).reshape(-1)
+                               if gate is not None else None)
+                        inter, union = stability_counts_fused(
+                            flat, m_h, m_w.T, offset=off, active=act)
+                        inter = inter.reshape(p, m3)
+                        union = union.reshape(p, m3)
+                    else:
+                        from regda_tpu.models.sam.pallas_stability import (
+                            stability_counts_xla)
+                        inter, union = stability_counts_xla(
+                            flat, m_h, m_w.T, offset=off)
+                        inter = inter.reshape(p, m3)
+                        union = union.reshape(p, m3)
                 else:
                     # fast path: stability straight off the compute-dtype
                     # low-res logits — the off thresholds (+-1.0) are exact

@@ -1,0 +1,147 @@
+"""Pallas TPU kernel: fused exact-parity stability scoring.
+
+Upstream segment-anything computes each candidate's stability score on the
+mask logits POSTPROCESSED to crop resolution (256 -> model frame ->
+unpad -> crop size, bilinear) and counts pixels above +-offset (the
+configuration the reference drives at regda/utils/local_region_homog.py:
+32-39; see auto.py's module docstring). With the exact mode as the
+default, the XLA lowering scans einsum pairs that round-trip the
+(group, crop_h, 256) and (group, crop_h, crop_w) intermediates through
+HBM for EVERY candidate (points_per_batch * 3 per decode chunk, ~15k per
+tile at crop_n_layers=1) — measured ~25% of end-to-end everything-mode
+time on v5e.
+
+This kernel runs one program per candidate: both separable resize matmuls
+(the composed (crop, 256) matrix per axis, auto.py
+_exact_stability_matrices) execute on the MXU against a VMEM-resident
+block, and the two threshold counts reduce in-register — only a 128-lane
+scalar row per candidate leaves the core. Matmuls run in the caller's
+compute dtype with f32 accumulation, the same precision contract as the
+XLA exact path it replaces (auto.py _decode_fn), so scores agree to bf16
+rounding of the resized logits; the XLA scan path remains as the
+non-TPU/`REGDA_NO_PALLAS` twin and parity is asserted in
+tools/check_kernels.py and tests/test_sam.py.
+
+Per-candidate active gating (`active`): candidates the everything-mode
+filter is about to drop by pred_iou_thresh skip their resize work
+entirely; their output lanes are unwritten garbage and the caller must
+AND every consumer with the same flag (the filter's iou_pass &
+stability_pass does exactly that). Not differentiable by design —
+counting has no useful gradient.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(active_ref, logit_ref, mh_ref, mwt_ref, out_ref, *,
+            ch: int, cw: int, offset: float):
+    @pl.when(active_ref[0, 0, 0] != 0)
+    def _():
+        _body(logit_ref, mh_ref, mwt_ref, out_ref,
+              ch=ch, cw=cw, offset=offset)
+
+
+def _body(logit_ref, mh_ref, mwt_ref, out_ref, *,
+          ch: int, cw: int, offset: float):
+    f32 = jnp.float32
+    x = logit_ref[0]                                     # (S, S) compute dt
+    dt = x.dtype
+    # same dtype contract as the XLA exact path: resize matmuls in the
+    # compute dtype with f32 accumulation, second matmul consumes the
+    # f32 intermediate re-rounded to the compute dtype
+    y1 = jnp.dot(mh_ref[...].astype(dt), x,
+                 preferred_element_type=f32)             # (CH, S)
+    y = jnp.dot(y1.astype(dt), mwt_ref[...].astype(dt),
+                preferred_element_type=f32)              # (CH, CW)
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, y.shape, 0)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
+    # CH/CW are padded up to the (8, 128) tile grid; padding rows/cols of
+    # the resize matrices are zero, and 0 > -offset would pollute the
+    # union count, so mask to the true (ch, cw) frame
+    valid = (rows_i < ch) & (cols_i < cw)
+    inter = jnp.sum(jnp.where(valid & (y > offset), 1.0, 0.0), dtype=f32)
+    union = jnp.sum(jnp.where(valid & (y > -offset), 1.0, 0.0), dtype=f32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    row = jnp.where(lane == 0, inter, 0.0)
+    row = jnp.where(lane == 1, union, row)
+    out_ref[0] = row.astype(f32)
+
+
+@functools.partial(jax.jit, static_argnames=('offset', 'interpret'))
+def stability_counts_fused(logits, m_h, m_wt, offset: float = 1.0,
+                           active=None, interpret: bool | None = None):
+    """(M, S, S) low-res mask logits + composed resize matrices
+    m_h (ch, S), m_wt (S, cw) -> (inter (M,), union (M,)) f32 pixel counts
+    of resize(logits) > +-offset over the (ch, cw) crop frame.
+
+    stability = inter / max(union, 1) is computed by the caller. `active`:
+    optional (M,) bool/int; inactive slots skip all work and return
+    garbage counts the caller must mask (AND with the same flag)."""
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    m, s, _ = logits.shape
+    ch = m_h.shape[0]
+    cw = m_wt.shape[1]
+    if active is None:
+        active = jnp.ones((m,), jnp.int32)
+    active = active.astype(jnp.int32)
+    chp = -(-ch // 8) * 8
+    cwp = -(-cw // 128) * 128
+    m_h = jnp.pad(m_h.astype(jnp.float32), ((0, chp - ch), (0, 0)))
+    m_wt = jnp.pad(m_wt.astype(jnp.float32), ((0, 0), (0, cwp - cw)))
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, ch=ch, cw=cw, offset=float(offset)),
+        out_shape=jax.ShapeDtypeStruct((m, 1, 128), jnp.float32),
+        grid=(m,),
+        in_specs=[pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, s, s), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  const((chp, s)), const((s, cwp))],
+        out_specs=pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(jnp.broadcast_to(active[:, None, None], (m, 1, 128)),
+      logits, m_h, m_wt)
+    return out[:, 0, 0], out[:, 0, 1]
+
+
+def stability_counts_xla(logits, m_h, m_wt, offset: float = 1.0,
+                         group: int = 24):
+    """XLA twin of stability_counts_fused (the pre-kernel exact path):
+    group-scanned einsum pairs so only `group` candidates are ever
+    resident at crop resolution."""
+    m, s, _ = logits.shape
+    dt = logits.dtype
+    m_h = m_h.astype(dt)
+    m_wt = m_wt.astype(dt)
+    padg = (-m) % group
+    flat = jnp.pad(logits, ((0, padg), (0, 0), (0, 0)))
+    grps = flat.reshape(-1, group, s, s)
+
+    def body(carry, grp):
+        y = jnp.einsum('hs,gsw->ghw', m_h, grp,
+                       preferred_element_type=jnp.float32)
+        y = jnp.einsum('ghw,wc->ghc', y.astype(dt), m_wt,
+                       preferred_element_type=jnp.float32)
+        i = (y > offset).sum(axis=(-2, -1), dtype=jnp.float32)
+        u = (y > -offset).sum(axis=(-2, -1), dtype=jnp.float32)
+        return carry, (i, u)
+
+    _, (inter, union) = jax.lax.scan(body, 0, grps)
+    return inter.reshape(-1)[:m], union.reshape(-1)[:m]

@@ -1036,3 +1036,34 @@ def test_twostep_upscale_iou_gate(monkeypatch):
             assert np.abs(m1[r]).max() == 0.0
             n_zero += 1
     assert n_zero == int((i0.max(1) <= thr).sum()) and n_zero >= 1
+
+
+def test_stability_counts_fused_matches_xla_twin():
+    """pallas_stability.stability_counts_fused (interpret off-TPU) == the
+    group-scanned einsum twin, including non-(8,128)-divisible crop frames
+    and per-candidate active gating."""
+    from regda_tpu.models.sam.pallas_stability import (
+        stability_counts_fused, stability_counts_xla)
+    from regda_tpu.ops.resize import _interp_matrix_half_pixel
+    rng = np.random.RandomState(1)
+    m, s, ch, cw = 7, 32, 51, 77
+    m_h = jnp.asarray(_interp_matrix_half_pixel(s, ch), jnp.float32)
+    m_wt = jnp.asarray(_interp_matrix_half_pixel(s, cw).T, jnp.float32)
+    logits = jnp.asarray(rng.randn(m, s, s).astype(np.float32)) * 2.0
+
+    i_g, u_g = stability_counts_fused(logits, m_h, m_wt, offset=1.0)
+    i_w, u_w = stability_counts_xla(logits, m_h, m_wt, offset=1.0)
+    np.testing.assert_allclose(np.asarray(i_g), np.asarray(i_w), atol=1)
+    np.testing.assert_allclose(np.asarray(u_g), np.asarray(u_w), atol=1)
+    # union ~ pixels above -1: must be well below the padded frame area
+    # (zero-padded resize rows would each contribute cw to union)
+    assert float(np.max(u_g)) <= ch * cw
+
+    act = jnp.asarray((np.arange(m) % 2).astype(np.int32))
+    i_a, u_a = stability_counts_fused(logits, m_h, m_wt, offset=1.0,
+                                      active=act)
+    keep = np.asarray(act, bool)
+    np.testing.assert_allclose(np.asarray(i_a)[keep],
+                               np.asarray(i_w)[keep], atol=1)
+    np.testing.assert_allclose(np.asarray(u_a)[keep],
+                               np.asarray(u_w)[keep], atol=1)

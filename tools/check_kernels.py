@@ -198,6 +198,32 @@ def main():
     check('mask_stats active-gated areas', np.asarray(areas_g)[rows],
           np.asarray(want_areas, np.float32)[rows], 0, 0.5)
 
+    # ---- 5d. fused exact-parity stability counts ------------------------
+    # both kernel and twin run their resize matmuls at default precision
+    # in the compute dtype, so near-threshold pixels can flip between the
+    # two op orderings — counts agree to a handful of pixels out of ~10^5
+    from regda_tpu.models.sam.pallas_stability import (
+        stability_counts_fused, stability_counts_xla)
+    msb, slow2 = (12, 64) if args.quick else (48, 256)
+    ch_, cw_ = (100, 168) if args.quick else (483, 512)
+    from regda_tpu.ops.resize import _interp_matrix_half_pixel
+    mh_ = jnp.asarray(_interp_matrix_half_pixel(slow2, ch_), jnp.float32)
+    mwt_ = jnp.asarray(_interp_matrix_half_pixel(slow2, cw_).T, jnp.float32)
+    lgs = jnp.asarray(rng.randn(msb, slow2, slow2).astype(np.float32)) * 2.0
+    i_g, u_g = stability_counts_fused(lgs.astype(dt), mh_, mwt_,
+                                      offset=1.0, interpret=not on_tpu)
+    i_w, u_w = stability_counts_xla(lgs.astype(dt), mh_, mwt_, offset=1.0)
+    check('stability inter counts', i_g, i_w, 1e-2, 8)
+    check('stability union counts', u_g, u_w, 1e-2, 8)
+    act_b = jnp.asarray((np.arange(msb) % 3 != 0).astype(np.int32))
+    i_a, u_a = stability_counts_fused(lgs.astype(dt), mh_, mwt_, offset=1.0,
+                                      active=act_b, interpret=not on_tpu)
+    keep = np.asarray(act_b, bool)
+    check('stability active-gated inter', np.asarray(i_a)[keep],
+          np.asarray(i_w)[keep], 1e-2, 8)
+    check('stability active-gated union', np.asarray(u_a)[keep],
+          np.asarray(u_w)[keep], 1e-2, 8)
+
     # ---- 6. prompt-resident fused two-way transformer ------------------
     from regda_tpu.models.sam.pallas_twoway import (NP, two_way_fused,
                                                     _twoway_stock)
