@@ -29,19 +29,26 @@ _ROOT = os.environ.get('REGDA_PARITY_ROOT', '/tmp/regda_parity_smoke')
 _HW = 64
 _C = 6
 _CELL = _HW // 4
+# Domain-gap severity (palette-drift blend weight) and pixel-noise sigma.
+# Defaults reproduce the original testbed. The strong-source LRH study
+# (VERDICT round 2, item 2) uses a milder gap so stage 1 transfers well —
+# the regime where the reference applies LRH (real ISPRS models sit at
+# ~0.5+ mIoU) — plus the same in-region pixel noise for LRH to clean up.
+_GAP = float(os.environ.get('REGDA_PARITY_GAP', '0.45'))
+_NOISE = float(os.environ.get('REGDA_PARITY_NOISE', '14'))
 
 
 def _materialize():
     from PIL import Image
-    marker = os.path.join(_ROOT, '.v1_parity')
+    marker = os.path.join(_ROOT, f'.v1_parity_g{_GAP}_n{_NOISE}')
     if os.path.exists(marker):
         return
     rng = np.random.default_rng(7)
     palette = rng.integers(40, 215, (_C, 3)).astype(np.float32)
-    # target classes keep partial identity (55% of the source color) but
-    # drift substantially: channel roll + brightness shift
-    palette_t = (0.55 * palette + 0.45 * np.roll(palette, 1, axis=-1)
-                 + 28.0)
+    # target classes keep partial identity but drift: channel roll +
+    # brightness shift, both scaled by the gap knob (gap 0.45 = original)
+    palette_t = ((1.0 - _GAP) * palette + _GAP * np.roll(palette, 1, axis=-1)
+                 + 28.0 * (_GAP / 0.45))
     domains = {'Potsdam': palette, 'Vaihingen': palette_t}
     for domain, pal in domains.items():
         for split, n in (('train', 16), ('val', 4), ('test', 4)):
@@ -53,7 +60,7 @@ def _materialize():
             for i in range(n):
                 block = rng.integers(0, _C, (4, 4)).astype(np.uint8)
                 lbl = np.kron(block, np.ones((_CELL, _CELL), np.uint8))
-                img = pal[lbl] + rng.normal(0, 14, (_HW, _HW, 3))
+                img = pal[lbl] + rng.normal(0, _NOISE, (_HW, _HW, 3))
                 img = np.clip(img, 0, 255).astype(np.uint8)
                 # regions aligned with the label grid: unique id per cell
                 # (ids 1..16; 0 = unassigned kept out, like SAM's packing)

@@ -31,14 +31,19 @@ run() {
 }
 
 : > "$LOG"
-run "two-step (current default)"      REGDA_NO_MONO=1
+# most informative cells first (the matrix has died to tunnel outages
+# twice): decode A/B at the new exact-stability default, then the
+# fast-stability twins that isolate the stability-scoring cost.
 run "mono pp=2 (default)"             REGDA_MONO_DECODE=1
+run "two-step (current default)"      REGDA_NO_MONO=1
+run "two-step + fast stability"       REGDA_NO_MONO=1 REGDA_SAM_FAST_STABILITY=1
+run "mono pp=2 + fast stability"      REGDA_MONO_DECODE=1 REGDA_SAM_FAST_STABILITY=1
 run "mono pp=4"                       REGDA_MONO_DECODE=1 REGDA_MONO_PP=4
-run "crop0 two-step"                  REGDA_NO_MONO=1 BENCH_SAM_CROPS=0
-run "crop0 mono pp=2"                 REGDA_MONO_DECODE=1 BENCH_SAM_CROPS=0
-run "mono pp=2 + iou gate (ceiling)"  REGDA_MONO_DECODE=1 REGDA_SAM_IOU_GATE=1
-run "two-step + iou gate (ceiling)"   REGDA_NO_MONO=1 REGDA_SAM_IOU_GATE=1
 run "mono pp=1"                       REGDA_MONO_DECODE=1 REGDA_MONO_PP=1
+run "crop0 mono pp=2"                 REGDA_MONO_DECODE=1 BENCH_SAM_CROPS=0
+run "crop0 two-step"                  REGDA_NO_MONO=1 BENCH_SAM_CROPS=0
+run "mono pp=2 + iou gate (ceiling)"  REGDA_MONO_DECODE=1 REGDA_SAM_IOU_GATE=1
+run "two-step + iou gate (ceiling)"   REGDA_NO_MONO=1 REGDA_SAM_IOU_GATE=1 REGDA_MONO_PP=1
 
 echo "=== kernel parity on chip" | tee -a "$LOG"
 timeout 2400 python tools/check_kernels.py --quick 2>&1 | tail -2 | tee -a "$LOG"
