@@ -11,7 +11,9 @@ HBM for EVERY candidate (points_per_batch * 3 per decode chunk, ~15k per
 tile at crop_n_layers=1) — measured ~25% of end-to-end everything-mode
 time on v5e.
 
-This kernel runs one program per candidate: both separable resize matmuls
+This kernel runs one program per GROUP of candidates (default 8 — one
+candidate per program spends more on grid/DMA-issue overhead than on its
+~8 us of matmul work): both separable resize matmuls
 (the composed (crop, 256) matrix per axis, auto.py
 _exact_stability_matrices) execute on the MXU against a VMEM-resident
 block, and the two threshold counts reduce in-register — only a 128-lane
@@ -42,49 +44,62 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(active_ref, logit_ref, mh_ref, mwt_ref, out_ref, *,
-            ch: int, cw: int, offset: float):
-    @pl.when(active_ref[0, 0, 0] != 0)
-    def _():
-        _body(logit_ref, mh_ref, mwt_ref, out_ref,
-              ch=ch, cw=cw, offset=offset)
-
-
-def _body(logit_ref, mh_ref, mwt_ref, out_ref, *,
-          ch: int, cw: int, offset: float):
+            group: int, ch: int, cw: int, offset: float):
+    """One program = `group` candidates: per-candidate programs spend
+    more time on grid/DMA-issue overhead than on the matmuls (~17 us vs
+    ~8 us of MXU work per candidate measured on v5e), so amortize the
+    fixed costs over a G-candidate block. mh/mwt casts, the iota frame
+    mask, and the output-lane selectors hoist out of the per-candidate
+    loop; a group whose candidates are ALL gated off skips everything."""
     f32 = jnp.float32
-    x = logit_ref[0]                                     # (S, S) compute dt
-    dt = x.dtype
-    # same dtype contract as the XLA exact path: resize matmuls in the
-    # compute dtype with f32 accumulation, second matmul consumes the
-    # f32 intermediate re-rounded to the compute dtype
-    y1 = jnp.dot(mh_ref[...].astype(dt), x,
-                 preferred_element_type=f32)             # (CH, S)
-    y = jnp.dot(y1.astype(dt), mwt_ref[...].astype(dt),
-                preferred_element_type=f32)              # (CH, CW)
-    rows_i = jax.lax.broadcasted_iota(jnp.int32, y.shape, 0)
-    cols_i = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
-    # CH/CW are padded up to the (8, 128) tile grid; padding rows/cols of
-    # the resize matrices are zero, and 0 > -offset would pollute the
-    # union count, so mask to the true (ch, cw) frame
-    valid = (rows_i < ch) & (cols_i < cw)
-    inter = jnp.sum(jnp.where(valid & (y > offset), 1.0, 0.0), dtype=f32)
-    union = jnp.sum(jnp.where(valid & (y > -offset), 1.0, 0.0), dtype=f32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    row = jnp.where(lane == 0, inter, 0.0)
-    row = jnp.where(lane == 1, union, row)
-    out_ref[0] = row.astype(f32)
+    dt = logit_ref.dtype
+    any_active = jnp.max(active_ref[:, 0, 0])
+
+    @pl.when(any_active != 0)
+    def _():
+        # same dtype contract as the XLA exact path: resize matmuls in
+        # the compute dtype with f32 accumulation, second matmul consumes
+        # the f32 intermediate re-rounded to the compute dtype
+        mh = mh_ref[...].astype(dt)
+        mwt = mwt_ref[...].astype(dt)
+        shape = (mh.shape[0], mwt.shape[1])
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        cols_i = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        # CH/CW are padded up to the (8, 128) tile grid; padding rows/cols
+        # of the resize matrices are zero, and 0 > -offset would pollute
+        # the union count, so mask to the true (ch, cw) frame
+        valid = (rows_i < ch) & (cols_i < cw)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        for g in range(group):
+            @pl.when(active_ref[g, 0, 0] != 0)
+            def _(g=g):
+                x = logit_ref[g]                         # (S, S) compute dt
+                y1 = jnp.dot(mh, x, preferred_element_type=f32)  # (CH, S)
+                y = jnp.dot(y1.astype(dt), mwt,
+                            preferred_element_type=f32)          # (CH, CW)
+                inter = jnp.sum(jnp.where(valid & (y > offset), 1.0, 0.0),
+                                dtype=f32)
+                union = jnp.sum(jnp.where(valid & (y > -offset), 1.0, 0.0),
+                                dtype=f32)
+                row = jnp.where(lane == 0, inter, 0.0)
+                row = jnp.where(lane == 1, union, row)
+                out_ref[g] = row.astype(f32)
 
 
-@functools.partial(jax.jit, static_argnames=('offset', 'interpret'))
+@functools.partial(jax.jit,
+                   static_argnames=('offset', 'interpret', 'group'))
 def stability_counts_fused(logits, m_h, m_wt, offset: float = 1.0,
-                           active=None, interpret: bool | None = None):
+                           active=None, interpret: bool | None = None,
+                           group: int = 8):
     """(M, S, S) low-res mask logits + composed resize matrices
     m_h (ch, S), m_wt (S, cw) -> (inter (M,), union (M,)) f32 pixel counts
     of resize(logits) > +-offset over the (ch, cw) crop frame.
 
     stability = inter / max(union, 1) is computed by the caller. `active`:
     optional (M,) bool/int; inactive slots skip all work and return
-    garbage counts the caller must mask (AND with the same flag)."""
+    garbage counts the caller must mask (AND with the same flag).
+    `group`: candidates per kernel program (M is padded to a multiple;
+    padding slots run inactive)."""
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
     m, s, _ = logits.shape
@@ -93,6 +108,11 @@ def stability_counts_fused(logits, m_h, m_wt, offset: float = 1.0,
     if active is None:
         active = jnp.ones((m,), jnp.int32)
     active = active.astype(jnp.int32)
+    group = max(1, min(group, m))
+    mp = -(-m // group) * group
+    if mp != m:
+        logits = jnp.pad(logits, ((0, mp - m), (0, 0), (0, 0)))
+        active = jnp.pad(active, (0, mp - m))
     chp = -(-ch // 8) * 8
     cwp = -(-cw // 128) * 128
     m_h = jnp.pad(m_h.astype(jnp.float32), ((0, chp - ch), (0, 0)))
@@ -103,22 +123,23 @@ def stability_counts_fused(logits, m_h, m_wt, offset: float = 1.0,
                             memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, ch=ch, cw=cw, offset=float(offset)),
-        out_shape=jax.ShapeDtypeStruct((m, 1, 128), jnp.float32),
-        grid=(m,),
-        in_specs=[pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
+        functools.partial(_kernel, group=group, ch=ch, cw=cw,
+                          offset=float(offset)),
+        out_shape=jax.ShapeDtypeStruct((mp, 1, 128), jnp.float32),
+        grid=(mp // group,),
+        in_specs=[pl.BlockSpec((group, 1, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, s, s), lambda i: (i, 0, 0),
+                  pl.BlockSpec((group, s, s), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
                   const((chp, s)), const((s, cwp))],
-        out_specs=pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((group, 1, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(jnp.broadcast_to(active[:, None, None], (m, 1, 128)),
+    )(jnp.broadcast_to(active[:, None, None], (mp, 1, 128)),
       logits, m_h, m_wt)
-    return out[:, 0, 0], out[:, 0, 1]
+    return out[:m, 0, 0], out[:m, 0, 1]
 
 
 def stability_counts_xla(logits, m_h, m_wt, offset: float = 1.0,

@@ -1067,3 +1067,19 @@ def test_stability_counts_fused_matches_xla_twin():
                                np.asarray(i_w)[keep], atol=1)
     np.testing.assert_allclose(np.asarray(u_a)[keep],
                                np.asarray(u_w)[keep], atol=1)
+
+    # grouped programs: m=7 with group=4 pads to 8 (one inactive pad
+    # slot), group=2 divides with a gated slot in every program
+    for grp in (4, 2):
+        i_g2, u_g2 = stability_counts_fused(logits, m_h, m_wt, offset=1.0,
+                                            group=grp)
+        np.testing.assert_allclose(np.asarray(i_g2), np.asarray(i_w),
+                                   atol=1)
+        np.testing.assert_allclose(np.asarray(u_g2), np.asarray(u_w),
+                                   atol=1)
+        i_a2, u_a2 = stability_counts_fused(logits, m_h, m_wt, offset=1.0,
+                                            active=act, group=grp)
+        np.testing.assert_allclose(np.asarray(i_a2)[keep],
+                                   np.asarray(i_w)[keep], atol=1)
+        np.testing.assert_allclose(np.asarray(u_a2)[keep],
+                                   np.asarray(u_w)[keep], atol=1)

@@ -69,12 +69,16 @@ def main():
         x = jax.random.normal(key, (args.crops, 1024, 1024, 3), dt)
         ev = enc.init({'params': key}, x[:1])
 
+        # weights go in as an ARGUMENT: capturing them bakes ~360 MB of
+        # constants into the HLO, which the tunnel's remote_compile
+        # endpoint rejects (HTTP 413)
         @jax.jit
-        def enc_fn(x, s):
+        def enc_fn_v(ev, x, s):
             out = enc.apply(ev, x + s.astype(dt))
             return out, jnp.float32(jnp.sum(out[0, 0, 0, :2]))
 
-        per = chain_time(enc_fn, x, max(2, args.iters // 4))
+        per = chain_time(lambda x, s: enc_fn_v(ev, x, s), x,
+                         max(2, args.iters // 4))
         results['encode_ms_per_crop'] = per * 1000 / args.crops
         print(f'encode: {per*1000:.2f} ms / {args.crops}-crop batch '
               f'({per*1000/args.crops:.2f} ms/crop)')
@@ -164,6 +168,55 @@ def main():
     results['mono_decode_ms_per_chunk'] = per * 1000
     print(f'mono decode: {per*1000:.2f} ms / {B}-prompt chunk '
           f'(vs two-way + mask head separately)')
+
+    # ---------------- exact-stability scoring ------------------------------
+    # real chunk shape: points_per_batch prompts x 3 candidate masks, crop0
+    # frame of a 512 tile (nh=nw=1024 model frame -> 512x512 crop)
+    from regda_tpu.models.sam.pallas_stability import (
+        stability_counts_fused, stability_counts_xla)
+    from regda_tpu.ops.resize import _interp_matrix_half_pixel
+    mcand = args.prompts * 3
+    s_low = 256
+    u = _interp_matrix_half_pixel(s_low, 1024)[:1024]
+    m_h = (_interp_matrix_half_pixel(1024, 512) @ u).astype(np.float32)
+    m_wt = jnp.asarray(m_h.T)
+    m_h = jnp.asarray(m_h)
+    stab_logits = jax.random.normal(ks[30], (mcand, s_low, s_low), dt) * 4
+
+    @jax.jit
+    def stab_fused_fn(x, s):
+        i, un = stability_counts_fused(x + s.astype(x.dtype), m_h, m_wt)
+        return i, jnp.float32(jnp.sum(i[:2]) + jnp.sum(un[:2]))
+
+    per = chain_time(stab_fused_fn, stab_logits, args.iters)
+    results['stability_fused_ms_per_chunk'] = per * 1000
+    print(f'stability fused kernel: {per*1000:.2f} ms / {mcand}-cand chunk')
+
+    @jax.jit
+    def stab_xla_fn(x, s):
+        i, un = stability_counts_xla(x + s.astype(x.dtype), m_h, m_wt)
+        return i, jnp.float32(jnp.sum(i[:2]) + jnp.sum(un[:2]))
+
+    per = chain_time(stab_xla_fn, stab_logits, max(2, args.iters // 2))
+    results['stability_xla_scan_ms_per_chunk'] = per * 1000
+    print(f'stability XLA scan: {per*1000:.2f} ms / {mcand}-cand chunk')
+
+    @jax.jit
+    def stab_big_fn(x, s):
+        x = x + s.astype(x.dtype)
+        y1 = jnp.einsum('hs,msw->mhw', m_h.astype(x.dtype), x,
+                        preferred_element_type=jnp.float32)
+        y = jnp.einsum('mhw,wc->mhc', y1.astype(x.dtype),
+                       m_wt.astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+        i = (y > 1.0).sum(axis=(-2, -1), dtype=jnp.float32)
+        un = (y > -1.0).sum(axis=(-2, -1), dtype=jnp.float32)
+        return i, jnp.float32(jnp.sum(i[:2]) + jnp.sum(un[:2]))
+
+    per = chain_time(stab_big_fn, stab_logits, max(2, args.iters // 2))
+    results['stability_one_shot_einsum_ms_per_chunk'] = per * 1000
+    print(f'stability one-shot einsum: {per*1000:.2f} ms / {mcand}-cand '
+          'chunk')
 
     # ---------------- fused mask stats ------------------------------------
     from regda_tpu.models.sam.pallas_stats import mask_stats_fused
