@@ -97,7 +97,8 @@ class Sam(nn.Module):
     def decode_points_fast(self, image_embedding, points, labels,
                            factored: bool = False,
                            fused_upscale: bool = True,
-                           mask_dtype=None, iou_gate_thresh=None):
+                           mask_dtype=None, iou_gate_thresh=None,
+                           blocked_masks: bool = False):
         """decode_points through the pure-function fast decoder (same
         parameters, same math — see factored_decoder.py): optionally the
         low-rank factored key state, and the Pallas fused
@@ -113,7 +114,8 @@ class Sam(nn.Module):
                                  dtype=self.dtype, factored=factored,
                                  fused_upscale=fused_upscale,
                                  mask_dtype=mask_dtype,
-                                 iou_gate_thresh=iou_gate_thresh)
+                                 iou_gate_thresh=iou_gate_thresh,
+                                 blocked_masks=blocked_masks)
 
     def decode_points_factored(self, image_embedding, points, labels):
         """decode_points through the low-rank factored decoder (same
@@ -284,6 +286,21 @@ class SamAutomaticMaskGenerator:
         m_w = _interp_matrix_half_pixel(nw, cw) @ u_w        # (cw, low)
         return m_h.astype(np.float32), m_w.astype(np.float32)
 
+    def _blocked_masks(self) -> bool:
+        """Everything-mode masks stay in the upscale kernel's candidate-
+        major BLOCKED layout (B, M*16, HW) through stability + budget
+        selection; only the selected masks are interleaved. Removes the
+        per-candidate depth-to-space HBM relayout (~84 ms/tile at
+        crop_n_layers=1 on v5e — see PERF.md). Off for the factored and
+        mono decoders (their kernels own the mask layout) and under
+        REGDA_NO_BLOCKED_MASKS (A/B escape hatch)."""
+        import os as _os
+        mono = bool(_os.environ.get('REGDA_MONO_DECODE')
+                    and not _os.environ.get('REGDA_NO_MONO'))
+        return (self.fused_upscale and not self.factored_decoder
+                and not mono
+                and not _os.environ.get('REGDA_NO_BLOCKED_MASKS'))
+
     def _decode_fn(self, key_hw=None):
         import os as _os
         exact = self.stability_on_upscaled and key_hw is not None
@@ -302,10 +319,14 @@ class SamAutomaticMaskGenerator:
         # (pallas_stability.py): both composed-resize matmuls stay in
         # VMEM and only two counts per candidate leave the core, vs the
         # XLA scan's HBM round-trips of every (group, crop, crop) block
-        stabk = (exact and jax.default_backend() == 'tpu'
-                 and not _os.environ.get('REGDA_NO_PALLAS')
-                 and not _os.environ.get('REGDA_NO_STAB_KERNEL'))
-        key = ('decode', key_hw if exact else None, gate, stabk)
+        stab_env = (not _os.environ.get('REGDA_NO_PALLAS')
+                    and not _os.environ.get('REGDA_NO_STAB_KERNEL'))
+        stabk = exact and stab_env and jax.default_backend() == 'tpu'
+        # the blocked kernel self-selects interpret mode off-TPU, so CPU
+        # tests drive the same code path the chip runs
+        stabk_blocked = exact and stab_env
+        blocked = self._blocked_masks()
+        key = ('decode', key_hw if exact else None, gate, stabk, blocked)
         if key not in self._jits:
             off = self.stability_score_offset
             dt = self.compute_dtype
@@ -313,7 +334,11 @@ class SamAutomaticMaskGenerator:
             fused = self.fused_upscale
 
             def dec(variables, embedding, points):
-                """points: (P, 2) input-res xy -> per-mask scalars + logits."""
+                """points: (P, 2) input-res xy -> per-mask scalars + logits.
+
+                masks return interleaved (P, 3, S, S) or, when blocked,
+                candidate-major (P, 48, (S//4)^2) — layout-free consumers
+                only (stability counts, budget selection)."""
                 pts = points[:, None, :]
                 lbs = jnp.ones(pts.shape[:2], jnp.int32)
                 # masks come back already in the compute dtype: halves the
@@ -323,45 +348,64 @@ class SamAutomaticMaskGenerator:
                 # insensitive to bf16 rounding)
                 masks, iou = self.model.apply(
                     variables, embedding, pts, lbs, factored, fused, dt,
-                    iou_gate_thresh=gate,
+                    iou_gate_thresh=gate, blocked_masks=blocked,
                     method=self.model.decode_points_fast)
-                # (P, 3, 256, 256), (P, 3)
+                # (P, 3, 256, 256) [or (P, 48, HW) blocked], (P, 3)
+                p, m3 = iou.shape
+                if blocked:
+                    hw = masks.shape[-1]
+                    s = 4 * int(np.sqrt(hw))
+                else:
+                    s = masks.shape[-1]
                 if exact:
                     # upstream parity: stability on crop-resolution logits
-                    p, m3, s, _ = masks.shape
                     m_np = self._exact_stability_matrices(key_hw, s)
                     m_h = jnp.asarray(m_np[0])
                     m_w = jnp.asarray(m_np[1])
-                    flat = masks.reshape(p * m3, s, s)
-                    if stabk:
+                    # with the IoU gate on, candidates the downstream
+                    # filter drops by pred_iou_thresh skip their
+                    # resize work; their garbage counts are ANDed out
+                    # by the filter's `iou > t_iou` term (dec_all)
+                    act = ((iou > gate).reshape(-1)
+                           if gate is not None else None)
+                    if blocked:
+                        h = s // 4
+                        flat = masks.reshape(p * m3, 16 * h, h)
+                        if stabk_blocked:
+                            from regda_tpu.models.sam.pallas_stability \
+                                import stability_counts_blocked
+                            inter, union = stability_counts_blocked(
+                                flat, m_h, m_w, h, h, offset=off,
+                                active=act)
+                        else:
+                            from regda_tpu.models.sam.pallas_stability \
+                                import stability_counts_xla, unblock_masks
+                            inter, union = stability_counts_xla(
+                                unblock_masks(flat, h, h), m_h, m_w.T,
+                                offset=off)
+                    elif stabk:
                         from regda_tpu.models.sam.pallas_stability import (
                             stability_counts_fused)
-                        # with the IoU gate on, candidates the downstream
-                        # filter drops by pred_iou_thresh skip their
-                        # resize work; their garbage counts are ANDed out
-                        # by the filter's `iou > t_iou` term (dec_all)
-                        act = ((iou > gate).reshape(-1)
-                               if gate is not None else None)
                         inter, union = stability_counts_fused(
-                            flat, m_h, m_w.T, offset=off, active=act)
-                        inter = inter.reshape(p, m3)
-                        union = union.reshape(p, m3)
+                            masks.reshape(p * m3, s, s), m_h, m_w.T,
+                            offset=off, active=act)
                     else:
                         from regda_tpu.models.sam.pallas_stability import (
                             stability_counts_xla)
                         inter, union = stability_counts_xla(
-                            flat, m_h, m_w.T, offset=off)
-                        inter = inter.reshape(p, m3)
-                        union = union.reshape(p, m3)
+                            masks.reshape(p * m3, s, s), m_h, m_w.T,
+                            offset=off)
+                    inter = inter.reshape(p, m3)
+                    union = union.reshape(p, m3)
                 else:
                     # fast path: stability straight off the compute-dtype
                     # low-res logits — the off thresholds (+-1.0) are exact
                     # in bf16, and summing the boolean compares in f32
-                    # avoids an f32 copy of the masks
-                    inter = (masks > off).sum(axis=(-2, -1),
-                                              dtype=jnp.float32)
-                    union = (masks > -off).sum(axis=(-2, -1),
-                                               dtype=jnp.float32)
+                    # avoids an f32 copy of the masks. Order-free, so the
+                    # blocked layout needs no conversion
+                    cand = masks.reshape(p, m3, -1)
+                    inter = (cand > off).sum(axis=-1, dtype=jnp.float32)
+                    union = (cand > -off).sum(axis=-1, dtype=jnp.float32)
                 stability = inter / jnp.maximum(union, 1.0)
                 return masks, iou, stability
 
@@ -382,7 +426,9 @@ class SamAutomaticMaskGenerator:
         # decode_chunk is captured at trace time, so its gate config (see
         # _decode_fn) must key this jit too
         decode_chunk = self._decode_fn(key_hw)
-        key = ('decode_all', n_pts, key_hw if exact else None, decode_chunk)
+        blocked = self._blocked_masks()
+        key = ('decode_all', n_pts, key_hw if exact else None, decode_chunk,
+               blocked)
         if key not in self._jits:
             pb = self.points_per_batch
             budget = self.mask_budget
@@ -399,7 +445,17 @@ class SamAutomaticMaskGenerator:
 
                 _, (masks, iou, stab) = jax.lax.scan(body, 0, pts)
                 n = n_pts * 3
-                masks = masks.reshape(n, *masks.shape[-2:])
+                if blocked:
+                    # (chunks, pb, 48, hw): splitting 48 -> (3, 16) and
+                    # flattening to candidate rows keeps row-major order —
+                    # free reshapes, no relayout of the candidate stream
+                    hw = masks.shape[-1]
+                    h = int(np.sqrt(hw))
+                    masks = masks.reshape(n, 16 * hw)
+                    out_hw = (4 * h, 4 * h)
+                else:
+                    out_hw = masks.shape[-2:]
+                    masks = masks.reshape(n, out_hw[0] * out_hw[1])
                 iou = iou.reshape(n)
                 stab = stab.reshape(n)
                 ok = (jnp.repeat(valid_pts, 3) & (iou > t_iou)
@@ -414,9 +470,16 @@ class SamAutomaticMaskGenerator:
                 # ~150 ms/tile on v5e; the (budget, n) @ (n, 65536) matmul is
                 # MXU work at ~2 ms for the same selection
                 onehot = jax.nn.one_hot(sel, n, dtype=masks.dtype)
-                hw = masks.shape[-2:]
-                sel_masks = (onehot @ masks.reshape(n, hw[0] * hw[1])
-                             ).reshape(-1, *hw)
+                sel_masks = onehot @ masks
+                if blocked:
+                    # interleave ONLY the budget survivors (16x fewer than
+                    # the candidate stream the old path converted)
+                    from regda_tpu.models.sam.pallas_stability import (
+                        unblock_masks)
+                    sel_masks = unblock_masks(
+                        sel_masks.reshape(-1, 16 * h, h), h, h)
+                else:
+                    sel_masks = sel_masks.reshape(-1, *out_hw)
                 return sel_masks, iou[sel], ok[sel]
 
             self._jits[key] = jax.jit(dec_all)

@@ -706,7 +706,7 @@ def mask_decoder_fast(params, image_embeddings, image_pe, sparse_prompt,
                       num_multimask_outputs=3, num_heads=8,
                       dtype=jnp.float32, factored=True,
                       fused_upscale=False, mask_dtype=None,
-                      iou_gate_thresh=None):
+                      iou_gate_thresh=None, blocked_masks=False):
     """Pure-function twin of decoder.MaskDecoder.__call__ (same param tree)
     with selectable fast paths:
 
@@ -725,6 +725,13 @@ def mask_decoder_fast(params, image_embeddings, image_pe, sparse_prompt,
 
     image_embeddings / dense_prompt must be batch-1 (shared across the B
     sparse prompts) — exactly the everything-mode point-prompt setting.
+
+    blocked_masks: return masks in the candidate-major BLOCKED layout
+    (B, M*16, HW) instead of interleaved (B, M, 4H, 4W) — see
+    pallas_stability's module note; the everything-mode decode scores
+    stability and selects the mask budget in this layout and interleaves
+    only the survivors. Skips the mono path (whose kernel interleaves
+    in-VMEM already).
     """
     num_mask_tokens = num_multimask_outputs + 1
     b = sparse_prompt.shape[0]
@@ -742,8 +749,9 @@ def mask_decoder_fast(params, image_embeddings, image_pe, sparse_prompt,
     # TODO(flip to default-on for TPU once compiled+measured on the real
     # chip — the tunnel was down when this landed; CPU interpret parity
     # and e2e are green)
-    if mono_ok and (_os.environ.get('REGDA_MONO_DECODE')
-                    and not _os.environ.get('REGDA_NO_MONO')):
+    if (mono_ok and not blocked_masks
+            and (_os.environ.get('REGDA_MONO_DECODE')
+                 and not _os.environ.get('REGDA_NO_MONO'))):
         # monolithic per-prompt decode (pallas_monodecode.py): the key
         # state never leaves VMEM between the transformer and mask head
         hs, masks, iou_k = mask_decoder_mono(
@@ -812,7 +820,8 @@ def mask_decoder_fast(params, image_embeddings, image_pe, sparse_prompt,
             # _decode_all_fn `iou > t_iou`); skipped prompts return zeros
             active = jnp.any(iou_pred[:, 1:] > iou_gate_thresh, axis=1)
         masks = upscale_hyper_masks(src, hyper_in, k1, b1, lnw, lnb, k2, b2,
-                                    out_dtype=mask_dtype, active=active)
+                                    out_dtype=mask_dtype, active=active,
+                                    blocked=blocked_masks)
     else:
         c4, c8 = c // 4, c // 8
         m_sel = len(sel)
@@ -825,10 +834,17 @@ def mask_decoder_fast(params, image_embeddings, image_pe, sparse_prompt,
         up = up.reshape(b, h * w * 16, c8)         # blocks (dy, dx, gy, gx)
         masks = jnp.einsum('bpc,bmc->bmp', up, hyper_in,
                            preferred_element_type=jnp.float32)
-        masks = masks.reshape(b, m_sel, h, w, 2, 2, 2, 2)
-        masks = masks.transpose(0, 1, 2, 4, 6, 3, 5, 7)
-        masks = masks.reshape(b, m_sel, 4 * h, 4 * w)
-        masks = masks.astype(mask_dtype)
+        if blocked_masks:
+            # (b, m, hw, 16) -> candidate-major (b, m*16, hw), matching
+            # the fused kernel's blocked output (row m*16 + subpixel c)
+            masks = (masks.reshape(b, m_sel, h * w, 16)
+                     .transpose(0, 1, 3, 2)
+                     .reshape(b, m_sel * 16, h * w).astype(mask_dtype))
+        else:
+            masks = masks.reshape(b, m_sel, h, w, 2, 2, 2, 2)
+            masks = masks.transpose(0, 1, 2, 4, 6, 3, 5, 7)
+            masks = masks.reshape(b, m_sel, 4 * h, 4 * w)
+            masks = masks.astype(mask_dtype)
     if multimask_output:
         return masks, iou_pred[:, 1:]
     return masks, iou_pred[:, :1]

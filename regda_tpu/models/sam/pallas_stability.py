@@ -166,3 +166,150 @@ def stability_counts_xla(logits, m_h, m_wt, offset: float = 1.0,
 
     _, (inter, union) = jax.lax.scan(body, 0, grps)
     return inter.reshape(-1)[:m], union.reshape(-1)[:m]
+
+
+# --------------------------- blocked-layout variant -------------------------
+# The fused upscale kernel (pallas_upscale.py) can emit candidate-major
+# BLOCKED masks (M*16, HW): row m*16 + (dy*8 + dx*4 + gy*2 + gx), col
+# y*w + x holds full-res pixel (4y + 2dy + gy, 4x + 2dx + gx). Scoring
+# stability directly in that layout removes the per-candidate
+# depth-to-space HBM relayout (profiled ~84 ms/tile of the reference
+# crop_n_layers=1 configuration on v5e). The separable resize
+#   Y = M_h X M_w^T
+# decomposes over the 16 subpixel planes: with s = dy*2+gy, t = dx*2+gx,
+#   Y = sum_t (sum_s A_s X_{s,t}) B_t^T,
+# where X_{s,t} (h, w) is subpixel plane (s, t) — a contiguous SUBLANE
+# slice of the (16h, w) candidate block — and A_s/B_t are stride-4 column
+# slices of the composed resize matrices (host-side, blocked_resize_
+# factors). Every step is a plain GEMM on VMEM-resident data; total FLOPs
+# match the interleaved kernel exactly.
+
+# c = dy*8 + dx*4 + gy*2 + gx  ->  subpixel row s, subpixel col t
+_SMAP = tuple((c >> 3) * 2 + ((c >> 1) & 1) for c in range(16))
+_TMAP = tuple(((c >> 2) & 1) * 2 + (c & 1) for c in range(16))
+
+
+def blocked_resize_factors(m_h, m_w):
+    """Composed resize matrices m_h (ch, S), m_w (cw, S) -> stride-4
+    factors A (4, ch, S//4), B (4, cw, S//4): A[s][u, hb] = m_h[u, hb*4+s]
+    (subpixel row s of source row-block hb), likewise B over columns."""
+    ch, s4 = m_h.shape
+    cw = m_w.shape[0]
+    a = m_h.reshape(ch, s4 // 4, 4).transpose(2, 0, 1)
+    b = m_w.reshape(cw, s4 // 4, 4).transpose(2, 0, 1)
+    return a, b
+
+
+def _kernel_blocked(active_ref, blk_ref, a_ref, b_ref, out_ref, *,
+                    group: int, h: int, w: int, ch: int, cw: int,
+                    offset: float):
+    f32 = jnp.float32
+    dt = blk_ref.dtype
+    any_active = jnp.max(active_ref[:, 0, 0])
+
+    @pl.when(any_active != 0)
+    def _():
+        a = a_ref[...].astype(dt)                        # (4, CHP, h)
+        b = b_ref[...].astype(dt)                        # (4, CWP, w)
+        shape = (a.shape[1], b.shape[1])
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        cols_i = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        valid = (rows_i < ch) & (cols_i < cw)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        for g in range(group):
+            @pl.when(active_ref[g, 0, 0] != 0)
+            def _(g=g):
+                x = blk_ref[g]                           # (16h, w)
+                # row-resize per subpixel column t, accumulating the four
+                # subpixel-row planes s into R_t in f32
+                r = [jnp.zeros((a.shape[1], w), f32) for _ in range(4)]
+                for c in range(16):
+                    xc = x[c * h:(c + 1) * h, :]         # (h, w) plane
+                    r[_TMAP[c]] += jnp.dot(a[_SMAP[c]], xc,
+                                           preferred_element_type=f32)
+                # column-resize: Y += R_t B_t^T (A @ B^T dot_general)
+                y = jnp.zeros(shape, f32)
+                for t in range(4):
+                    y += jax.lax.dot_general(
+                        r[t].astype(dt), b[t],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=f32)
+                inter = jnp.sum(jnp.where(valid & (y > offset), 1.0, 0.0),
+                                dtype=f32)
+                union = jnp.sum(jnp.where(valid & (y > -offset), 1.0, 0.0),
+                                dtype=f32)
+                row = jnp.where(lane == 0, inter, 0.0)
+                row = jnp.where(lane == 1, union, row)
+                out_ref[g] = row.astype(f32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('h', 'w', 'offset', 'interpret',
+                                    'group'))
+def stability_counts_blocked(blk, m_h, m_w, h: int, w: int,
+                             offset: float = 1.0, active=None,
+                             interpret: bool | None = None,
+                             group: int = 4):
+    """(M, 16h, w) candidate-major blocked mask logits (see module note;
+    reshape the upscale kernel's (B, M*16, h*w) output to (B*M, 16h, w) —
+    row-major, so it is a free bitcast) + composed resize matrices
+    m_h (ch, 4h), m_w (cw, 4w) -> (inter (M,), union (M,)) f32 counts of
+    resize(masks) > +-offset over the (ch, cw) crop frame.
+
+    Same contract as stability_counts_fused otherwise (active gating,
+    caller computes inter / max(union, 1))."""
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    m = blk.shape[0]
+    assert blk.shape[1] == 16 * h and blk.shape[2] == w, blk.shape
+    ch = m_h.shape[0]
+    cw = m_w.shape[0]
+    if active is None:
+        active = jnp.ones((m,), jnp.int32)
+    active = active.astype(jnp.int32)
+    group = max(1, min(group, m))
+    mp = -(-m // group) * group
+    if mp != m:
+        blk = jnp.pad(blk, ((0, mp - m), (0, 0), (0, 0)))
+        active = jnp.pad(active, (0, mp - m))
+    a, b = blocked_resize_factors(m_h.astype(jnp.float32),
+                                  m_w.astype(jnp.float32))
+    # ch pads to the sublane tile, cw to the lane tile (cw is the lane
+    # axis of the (CHP, CWP) resized frame); padded rows of a/b are zero,
+    # so padded frame cells hold 0 and the valid mask drops them anyway
+    chp = -(-ch // 8) * 8
+    cwp = -(-cw // 128) * 128
+    a = jnp.pad(a, ((0, 0), (0, chp - ch), (0, 0)))
+    b = jnp.pad(b, ((0, 0), (0, cwp - cw), (0, 0)))
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_blocked, group=group, h=h, w=w, ch=ch,
+                          cw=cw, offset=float(offset)),
+        out_shape=jax.ShapeDtypeStruct((mp, 1, 128), jnp.float32),
+        grid=(mp // group,),
+        in_specs=[pl.BlockSpec((group, 1, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((group, 16 * h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  const((4, chp, h)), const((4, cwp, w))],
+        out_specs=pl.BlockSpec((group, 1, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(jnp.broadcast_to(active[:, None, None], (mp, 1, 128)),
+      blk, a, b)
+    return out[:m, 0, 0], out[:m, 0, 1]
+
+
+def unblock_masks(blk, h: int, w: int):
+    """(M, 16h, w) blocked candidate logits -> (M, 4h, 4w) interleaved
+    (the XLA depth-to-space the blocked path avoids; twin/test helper)."""
+    m = blk.shape[0]
+    x = blk.reshape(m, 2, 2, 2, 2, h, w)       # (m, dy, dx, gy, gx, h, w)
+    x = x.transpose(0, 5, 1, 3, 6, 2, 4)       # (m, h, dy, gy, w, dx, gx)
+    return x.reshape(m, 4 * h, 4 * w)

@@ -61,7 +61,7 @@ def _gelu_exact(x):
 
 
 def _kernel(active_ref, src_ref, k1_ref, b1_ref, m_ref, lnw_ref, lnb_ref,
-            k2bd_ref, b2_ref, hbd_ref, out_ref):
+            k2bd_ref, b2_ref, hbd_ref, out_ref, *, blocked: bool = False):
     # per-prompt gate (everything-mode IoU prefilter): skipped prompts
     # write ZERO blocks — the caller's candidate selection runs a one-hot
     # matmul over ALL rows, so garbage (unlike the stats kernel's) would
@@ -75,7 +75,7 @@ def _kernel(active_ref, src_ref, k1_ref, b1_ref, m_ref, lnw_ref, lnb_ref,
     @pl.when(flag != 0)
     def _():
         _upscale_body(src_ref, k1_ref, b1_ref, m_ref, lnw_ref, lnb_ref,
-                      k2bd_ref, b2_ref, hbd_ref, out_ref)
+                      k2bd_ref, b2_ref, hbd_ref, out_ref, blocked=blocked)
 
     @pl.when(flag == 0)
     def _():
@@ -83,7 +83,8 @@ def _kernel(active_ref, src_ref, k1_ref, b1_ref, m_ref, lnw_ref, lnb_ref,
 
 
 def _upscale_body(src_ref, k1_ref, b1_ref, m_ref, lnw_ref, lnb_ref,
-                  k2bd_ref, b2_ref, hbd_ref, out_ref):
+                  k2bd_ref, b2_ref, hbd_ref, out_ref, *,
+                  blocked: bool = False):
     f32 = jnp.float32
     dt = k1_ref.dtype
     x = src_ref[0]                                       # (P, C)
@@ -112,8 +113,18 @@ def _upscale_body(src_ref, k1_ref, b1_ref, m_ref, lnw_ref, lnb_ref,
         axis=-1)
     t2 = (t2 + b2_ref[0][None, :]).astype(dt)            # (P, 16*c8)
     t2 = _gelu_exact(t2)
-    out = jnp.dot(t2.astype(dt), hbd_ref[0], preferred_element_type=f32)
-    out_ref[0] = out.astype(out_ref.dtype)               # (P, M*16)
+    if blocked:
+        # hbd arrives pre-transposed (M*16, 16*c8); the A @ B^T
+        # dot_general emits the candidate-major (M*16, P) block directly,
+        # so the caller never pays an HBM relayout to regroup masks
+        out = jax.lax.dot_general(
+            hbd_ref[0], t2.astype(dt),
+            (((1,), (1,)), ((), ())), preferred_element_type=f32)
+        out_ref[0] = out.astype(out_ref.dtype)           # (M*16, P)
+    else:
+        out = jnp.dot(t2.astype(dt), hbd_ref[0],
+                      preferred_element_type=f32)
+        out_ref[0] = out.astype(out_ref.dtype)           # (P, M*16)
 
 
 def _interleave(out, b, h, w, m):
@@ -121,6 +132,21 @@ def _interleave(out, b, h, w, m):
     masks = out.reshape(b, h, w, m, 2, 2, 2, 2)
     masks = masks.transpose(0, 3, 1, 4, 6, 2, 5, 7)
     return masks.reshape(b, m, 4 * h, 4 * w)
+
+
+def masks_from_blocked(out_t, h, w):
+    """Candidate-major blocked masks (B, M*16, HW) -> (B, M, 4H, 4W).
+
+    Row index = m*16 + (dy, dx, gy, gx); full-res pixel (4y+2dy+gy,
+    4x+2dx+gx) of mask m lives at [b, m*16 + dy*8+dx*4+gy*2+gx, y*w + x].
+    This is the ONLY place the depth-to-space relayout happens on the
+    blocked decode path — callers apply it to the budget-selected masks
+    (16x fewer than the candidate stream the old path interleaved)."""
+    b = out_t.shape[0]
+    m = out_t.shape[1] // 16
+    x = out_t.reshape(b, m, 2, 2, 2, 2, h, w)    # (b, m, dy, dx, gy, gx, ...)
+    x = x.transpose(0, 1, 6, 2, 4, 7, 3, 5)      # (b, m, h, dy, gy, w, dx, gx)
+    return x.reshape(b, m, 4 * h, 4 * w)
 
 
 def _upscale_stock(src, hyper_in, k1, b1, lnw, lnb, k2, b2, out_dtype):
@@ -174,7 +200,8 @@ _upscale_cvjp.defvjp(_upscale_fwd, _upscale_bwd)
 
 def upscale_hyper_masks(src, hyper_in, k1, b1, lnw, lnb, k2, b2,
                         out_dtype=jnp.float32,
-                        interpret: bool | None = None, active=None):
+                        interpret: bool | None = None, active=None,
+                        blocked: bool = False):
     """Fused mask head: src (B, H, W, C) + hyper_in (B, M, C//8) ->
     masks (B, M, 4H, 4W).
 
@@ -188,7 +215,18 @@ def upscale_hyper_masks(src, hyper_in, k1, b1, lnw, lnb, k2, b2,
     candidates are dropped by the caller's own iou filter regardless of
     mask content). The gated path is inference-only (bypasses the
     custom VJP).
+
+    blocked: return candidate-major blocked masks (B, M*16, HW) instead
+    of interleaved (B, M, 4H, 4W) — the everything-mode decode keeps this
+    layout end to end (stability counts + budget selection are layout-
+    independent) and interleaves only the selected masks, skipping the
+    per-candidate depth-to-space HBM relayout (~84 ms/tile of the
+    crop_n_layers=1 budget on v5e). Inference-only (no VJP).
     """
+    if blocked:
+        return _upscale_fwd_impl(src, hyper_in, k1, b1, lnw, lnb, k2, b2,
+                                 out_dtype, interpret, active=active,
+                                 blocked=True)
     if active is not None:
         return _upscale_fwd_impl(src, hyper_in, k1, b1, lnw, lnb, k2, b2,
                                  out_dtype, interpret, active=active)
@@ -196,10 +234,12 @@ def upscale_hyper_masks(src, hyper_in, k1, b1, lnw, lnb, k2, b2,
                          out_dtype, interpret)
 
 
-@functools.partial(jax.jit, static_argnames=('out_dtype', 'interpret'))
+@functools.partial(jax.jit,
+                   static_argnames=('out_dtype', 'interpret', 'blocked'))
 def _upscale_fwd_impl(src, hyper_in, k1, b1, lnw, lnb, k2, b2,
                       out_dtype=jnp.float32,
-                      interpret: bool | None = None, active=None):
+                      interpret: bool | None = None, active=None,
+                      blocked: bool = False):
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
     b, h, w, c = src.shape
@@ -223,15 +263,29 @@ def _upscale_fwd_impl(src, hyper_in, k1, b1, lnw, lnb, k2, b2,
     b2_t = jnp.tile(b2[0], 4)[None].astype(f32)
     # per-prompt hypernetwork as a block-diagonal (16*c8, M*16) matrix:
     # Hbd[b, blk*c8 + ch, m*16 + blk'] = hyper[b, m, ch] * (blk == blk')
-    hbd = jnp.einsum('dg,bmc->bdcmg', jnp.eye(16, dtype=dt),
-                     hyper_in.astype(dt)).reshape(b, 16 * c8, m * 16)
+    # (blocked mode keeps it pre-transposed so the kernel's A @ B^T dot
+    # emits the candidate-major block directly)
+    if blocked:
+        hbd = jnp.einsum('dg,bmc->bmgdc', jnp.eye(16, dtype=dt),
+                         hyper_in.astype(dt)).reshape(b, m * 16, 16 * c8)
+    else:
+        hbd = jnp.einsum('dg,bmc->bdcmg', jnp.eye(16, dtype=dt),
+                         hyper_in.astype(dt)).reshape(b, 16 * c8, m * 16)
 
     src_flat = src.reshape(b, h * w, c).astype(dt)
     pix = min(1024, h * w)
     grid = (b, (h * w) // pix)
+    if blocked:
+        out_shape = jax.ShapeDtypeStruct((b, m * 16, h * w), out_dtype)
+        out_specs = pl.BlockSpec((1, m * 16, pix), lambda i, r: (i, 0, r),
+                                 memory_space=pltpu.VMEM)
+    else:
+        out_shape = jax.ShapeDtypeStruct((b, h * w, m * 16), out_dtype)
+        out_specs = pl.BlockSpec((1, pix, m * 16), lambda i, r: (i, r, 0),
+                                 memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h * w, m * 16), out_dtype),
+        functools.partial(_kernel, blocked=blocked),
+        out_shape=out_shape,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, 128), lambda i, r: (i, 0, 0),
@@ -252,15 +306,16 @@ def _upscale_fwd_impl(src, hyper_in, k1, b1, lnw, lnb, k2, b2,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(b2_t.shape, lambda i, r: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 16 * c8, m * 16), lambda i, r: (i, 0, 0),
+            pl.BlockSpec((1,) + hbd.shape[1:], lambda i, r: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, pix, m * 16), lambda i, r: (i, r, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         interpret=interpret,
     )(jnp.broadcast_to(active[:, None, None], (b, 1, 128)),
       src_flat, k1, b1.astype(f32), pool_m, lnw_t,
       lnb_t, k2bd, b2_t, hbd)
+    if blocked:
+        return out                               # (B, M*16, HW)
     # depth-to-space on the blocked masks: col = (m, dy, dx, gy, gx)
     return _interleave(out, b, h, w, m)
 

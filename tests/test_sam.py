@@ -1083,3 +1083,80 @@ def test_stability_counts_fused_matches_xla_twin():
                                    np.asarray(i_w)[keep], atol=1)
         np.testing.assert_allclose(np.asarray(u_a2)[keep],
                                    np.asarray(u_w)[keep], atol=1)
+
+
+def test_stability_counts_blocked_matches_xla_twin():
+    """The blocked-layout stability kernel (candidate-major (M, 16h, w)
+    input, the fused upscale kernel's native layout) matches the einsum
+    twin run on the unblocked masks, with gating and grouped programs."""
+    from regda_tpu.models.sam.pallas_stability import (
+        stability_counts_blocked, stability_counts_xla, unblock_masks)
+    from regda_tpu.ops.resize import _interp_matrix_half_pixel
+    rng = np.random.RandomState(2)
+    m, h, ch, cw = 7, 8, 51, 77                 # low-res S = 4h = 32
+    s = 4 * h
+    m_h = jnp.asarray(_interp_matrix_half_pixel(s, ch), jnp.float32)
+    m_w = jnp.asarray(_interp_matrix_half_pixel(s, cw), jnp.float32)
+    blk = jnp.asarray(rng.randn(m, 16 * h, h).astype(np.float32)) * 2.0
+    i_w, u_w = stability_counts_xla(unblock_masks(blk, h, h), m_h,
+                                    jnp.asarray(np.asarray(m_w).T),
+                                    offset=1.0)
+    for grp in (1, 4):
+        i_b, u_b = stability_counts_blocked(blk, m_h, m_w, h, h,
+                                            offset=1.0, group=grp)
+        np.testing.assert_allclose(np.asarray(i_b), np.asarray(i_w), atol=1)
+        np.testing.assert_allclose(np.asarray(u_b), np.asarray(u_w), atol=1)
+    act = jnp.asarray((np.arange(m) % 2).astype(np.int32))
+    i_a, u_a = stability_counts_blocked(blk, m_h, m_w, h, h, offset=1.0,
+                                        active=act, group=4)
+    keep = np.asarray(act, bool)
+    np.testing.assert_allclose(np.asarray(i_a)[keep],
+                               np.asarray(i_w)[keep], atol=1)
+    np.testing.assert_allclose(np.asarray(u_a)[keep],
+                               np.asarray(u_w)[keep], atol=1)
+
+
+def test_blocked_mask_layout_roundtrip():
+    """masks_from_blocked / unblock_masks invert the fused kernel's
+    candidate-major blocked layout exactly (vs _interleave of the
+    pixel-major blocked form)."""
+    from regda_tpu.models.sam.pallas_upscale import (_interleave,
+                                                     masks_from_blocked)
+    from regda_tpu.models.sam.pallas_stability import unblock_masks
+    rng = np.random.RandomState(3)
+    b, h, w, m = 2, 4, 4, 3
+    out = jnp.asarray(rng.randn(b, h * w, m * 16).astype(np.float32))
+    ref = _interleave(out, b, h, w, m)
+    out_t = jnp.transpose(out, (0, 2, 1))
+    np.testing.assert_array_equal(np.asarray(masks_from_blocked(out_t, h, w)),
+                                  np.asarray(ref))
+    blk = out_t.reshape(b * m, 16 * h, w)
+    np.testing.assert_array_equal(
+        np.asarray(unblock_masks(blk, h, w)),
+        np.asarray(ref).reshape(b * m, 4 * h, 4 * w))
+
+
+def test_decode_points_fast_blocked_matches_interleaved():
+    """decode_points_fast(blocked_masks=True) returns the same masks as
+    the interleaved path, re-laid-out — both through the fused upscale
+    kernel (interpret) and the stock mask head."""
+    from regda_tpu.models.sam.pallas_upscale import masks_from_blocked
+    model = Sam(vit_config='vit_t', img_size=64)
+    rng = jax.random.PRNGKey(11)
+    variables = model.init({'params': rng}, jnp.zeros((1, 64, 64, 3)),
+                           jnp.zeros((1, 1, 2)), jnp.ones((1, 1), jnp.int32))
+    emb = jax.random.normal(jax.random.PRNGKey(12), (1, 4, 4, 256))
+    pts = jax.random.uniform(jax.random.PRNGKey(13), (5, 1, 2)) * 64
+    lbs = jnp.ones((5, 1), jnp.int32)
+    for fused in (True, False):
+        masks_i, iou_i = model.apply(variables, emb, pts, lbs, False, fused,
+                                     method=model.decode_points_fast)
+        masks_b, iou_b = model.apply(variables, emb, pts, lbs, False, fused,
+                                     blocked_masks=True,
+                                     method=model.decode_points_fast)
+        assert masks_b.shape == (5, 48, 16)
+        np.testing.assert_allclose(np.asarray(iou_b), np.asarray(iou_i),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(masks_from_blocked(masks_b, 4, 4)),
+            np.asarray(masks_i), rtol=1e-5, atol=1e-5)

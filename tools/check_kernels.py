@@ -224,6 +224,28 @@ def main():
     check('stability active-gated union', np.asarray(u_a)[keep],
           np.asarray(u_w)[keep], 1e-2, 8)
 
+    # ---- 5e. blocked-layout stability counts ----------------------------
+    # the candidate-major variant the everything-mode decode scores in
+    # the fused upscale kernel's native layout (no depth-to-space)
+    from regda_tpu.models.sam.pallas_stability import (
+        stability_counts_blocked, unblock_masks)
+    hb = slow2 // 4
+    blk = jnp.asarray(rng.randn(msb, 16 * hb, hb).astype(np.float32)) * 2.0
+    mwb = jnp.asarray(np.asarray(mwt_).T)
+    i_b, u_b = stability_counts_blocked(blk.astype(dt), mh_, mwb, hb, hb,
+                                        offset=1.0, interpret=not on_tpu)
+    i_w2, u_w2 = stability_counts_xla(
+        unblock_masks(blk, hb, hb).astype(dt), mh_, mwt_, offset=1.0)
+    check('stability blocked inter', i_b, i_w2, 1e-2, 8)
+    check('stability blocked union', u_b, u_w2, 1e-2, 8)
+    i_ab, u_ab = stability_counts_blocked(blk.astype(dt), mh_, mwb, hb, hb,
+                                          offset=1.0, active=act_b,
+                                          interpret=not on_tpu)
+    check('stability blocked gated inter', np.asarray(i_ab)[keep],
+          np.asarray(i_w2)[keep], 1e-2, 8)
+    check('stability blocked gated union', np.asarray(u_ab)[keep],
+          np.asarray(u_w2)[keep], 1e-2, 8)
+
     # ---- 6. prompt-resident fused two-way transformer ------------------
     from regda_tpu.models.sam.pallas_twoway import (NP, two_way_fused,
                                                     _twoway_stock)
