@@ -36,11 +36,22 @@ _CELL = _HW // 4
 # ~0.5+ mIoU) — plus the same in-region pixel noise for LRH to clean up.
 _GAP = float(os.environ.get('REGDA_PARITY_GAP', '0.45'))
 _NOISE = float(os.environ.get('REGDA_PARITY_NOISE', '14'))
+# Salt corruption: fraction of pixels replaced by uniform random colors.
+# Gaussian noise shifts every pixel a little (the model's errors stay
+# spatially coherent per cell — a regime LRH cannot fix, since the
+# region-majority vote inherits the coherent error); salt corrupts a
+# scattered MINORITY of pixels severely. Those pixels are unclassifiable
+# alone (low confidence -> dropped by pseudo_selection) while the clean
+# majority in the same SAM region votes the true class — the
+# scattered-error regime the reference's Homogenizer targets
+# (local_region_homog.py:99-152).
+_SALT = float(os.environ.get('REGDA_PARITY_SALT', '0'))
 
 
 def _materialize():
     from PIL import Image
-    marker = os.path.join(_ROOT, f'.v1_parity_g{_GAP}_n{_NOISE}')
+    salt_tag = f'_s{_SALT}' if _SALT else ''
+    marker = os.path.join(_ROOT, f'.v1_parity_g{_GAP}_n{_NOISE}{salt_tag}')
     if os.path.exists(marker):
         return
     rng = np.random.default_rng(7)
@@ -61,6 +72,10 @@ def _materialize():
                 block = rng.integers(0, _C, (4, 4)).astype(np.uint8)
                 lbl = np.kron(block, np.ones((_CELL, _CELL), np.uint8))
                 img = pal[lbl] + rng.normal(0, _NOISE, (_HW, _HW, 3))
+                if _SALT:
+                    corrupt = rng.random((_HW, _HW)) < _SALT
+                    img = np.where(corrupt[..., None],
+                                   rng.uniform(0, 255, (_HW, _HW, 3)), img)
                 img = np.clip(img, 0, 255).astype(np.uint8)
                 # regions aligned with the label grid: unique id per cell
                 # (ids 1..16; 0 = unassigned kept out, like SAM's packing)

@@ -304,17 +304,21 @@ class SamAutomaticMaskGenerator:
     def _decode_fn(self, key_hw=None):
         import os as _os
         exact = self.stability_on_upscaled and key_hw is not None
-        # per-prompt IoU gate (REGDA_SAM_IOU_GATE): candidates the
-        # downstream filter is about to drop by pred_iou_thresh skip
-        # their mask-head GEMMs inside whichever decode kernel is
-        # active (mono: in-kernel iou head; two-step: exact XLA iou
-        # fed to the upscale kernel's active flags). Read at every call
-        # and part of the cache key, so toggling the env var between
-        # generate calls re-traces instead of reusing the stale kernel
-        # (same convention as mono_decode's eager knob reads).
-        gate = (float(self.pred_iou_thresh)
-                if _os.environ.get('REGDA_SAM_IOU_GATE')
-                or _os.environ.get('REGDA_MONO_IOU_GATE') else None)
+        # per-prompt IoU gate (DEFAULT ON; REGDA_SAM_NO_IOU_GATE=1 turns it
+        # off): candidates the downstream filter is about to drop by
+        # pred_iou_thresh skip their mask-head GEMMs, exact-stability
+        # resizes, and stats inside whichever decode kernel is active
+        # (mono: in-kernel iou head; two-step: exact XLA iou fed to the
+        # upscale kernel's active flags). Output-identical by
+        # construction — upstream everything-mode drops those candidates
+        # at the pred_iou filter BEFORE stability/NMS
+        # (segment_anything _process_batch as driven at
+        # local_region_homog.py:32-39), and gate + filter decide from the
+        # same canonical iou array. Read at every call and part of the
+        # cache key, so toggling the env var between generate calls
+        # re-traces instead of reusing the stale kernel.
+        gate = (None if _os.environ.get('REGDA_SAM_NO_IOU_GATE')
+                else float(self.pred_iou_thresh))
         # exact-parity stability runs as a fused Pallas kernel on TPU
         # (pallas_stability.py): both composed-resize matmuls stay in
         # VMEM and only two counts per candidate leave the core, vs the

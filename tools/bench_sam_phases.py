@@ -46,6 +46,9 @@ def main():
     ap.add_argument('--prompts', type=int, default=128)
     ap.add_argument('--crops', type=int, default=5)
     ap.add_argument('--skip-encode', action='store_true')
+    ap.add_argument('--encode-layers', action='store_true',
+                    help='time encoder sub-layers (patch embed, windowed/'
+                         'global blocks, neck) instead of the phase suite')
     args = ap.parse_args()
 
     import jax
@@ -61,6 +64,100 @@ def main():
     dt = jnp.bfloat16
     key = jax.random.PRNGKey(0)
     results = {}
+
+    # ---------------- encoder sub-layer breakdown --------------------------
+    if args.encode_layers:
+        from regda_tpu.models.sam.vit import (Block, PatchEmbed,
+                                              ImageEncoderViT, VIT_CONFIGS)
+        import flax.linen as nn
+        B5, grid, dim = args.crops, 64, 768
+        xt = jax.random.normal(key, (B5, grid, grid, dim), dt)
+        # persistent-windowed layout: 64 -> pad 70 -> 5x5 windows of 14
+        xw = jax.random.normal(key, (B5 * 25, 14, 14, dim), dt)
+
+        blk_w = Block(dim, 12, window_size=14, input_size=(grid, grid),
+                      dtype=dt)
+        vw = blk_w.init({'params': key}, xw, True, True)
+
+        @jax.jit
+        def f_w(v, x, s):
+            out = blk_w.apply(v, x + s.astype(dt), True, True)
+            return out, jnp.float32(jnp.sum(out[0, 0, 0, :2]))
+
+        per = chain_time(lambda x, s: f_w(vw, x, s), xw, args.iters)
+        results['enc_windowed_block_ms'] = per * 1000 / B5
+        print(f'windowed block (persistent layout): {per*1000/B5:.3f} '
+              f'ms/crop/layer')
+
+        blk_g = Block(dim, 12, window_size=0, input_size=(grid, grid),
+                      dtype=dt)
+        vg = blk_g.init({'params': key}, xt, False, False)
+
+        @jax.jit
+        def f_g(v, x, s):
+            out = blk_g.apply(v, x + s.astype(dt), False, False)
+            return out, jnp.float32(jnp.sum(out[0, 0, 0, :2]))
+
+        per = chain_time(lambda x, s: f_g(vg, x, s), xt, args.iters)
+        results['enc_global_block_ms'] = per * 1000 / B5
+        print(f'global block: {per*1000/B5:.3f} ms/crop/layer')
+
+        # windowed block with layout transitions (unpartitioned in/out),
+        # as run before/after each global block
+        vt = blk_w.init({'params': key}, xt, False, False)
+
+        @jax.jit
+        def f_t(v, x, s):
+            out = blk_w.apply(v, x + s.astype(dt), False, False)
+            return out, jnp.float32(jnp.sum(out[0, 0, 0, :2]))
+
+        per = chain_time(lambda x, s: f_t(vt, x, s), xt, args.iters)
+        results['enc_windowed_block_transition_ms'] = per * 1000 / B5
+        print(f'windowed block (partition+unpartition): {per*1000/B5:.3f} '
+              f'ms/crop/layer')
+
+        pe = PatchEmbed(dim, 16, dtype=dt)
+        xi = jax.random.normal(key, (B5, 1024, 1024, 3), dt)
+        vp = pe.init({'params': key}, xi)
+
+        @jax.jit
+        def f_p(v, x, s):
+            out = pe.apply(v, x + s.astype(dt))
+            return out, jnp.float32(jnp.sum(out[0, 0, 0, :2]))
+
+        per = chain_time(lambda x, s: f_p(vp, x, s), xi, args.iters)
+        results['enc_patch_embed_ms'] = per * 1000 / B5
+        print(f'patch embed: {per*1000/B5:.3f} ms/crop')
+
+        class Neck(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                from regda_tpu.models.sam.vit import LayerNorm2d
+                x = nn.Conv(256, (1, 1), use_bias=False, dtype=dt,
+                            name='neck_conv1')(x)
+                x = LayerNorm2d(name='neck_ln1')(x)
+                x = nn.Conv(256, (3, 3), padding=[(1, 1)] * 2,
+                            use_bias=False, dtype=dt, name='neck_conv2')(x)
+                x = LayerNorm2d(name='neck_ln2')(x)
+                return x
+
+        neck = Neck()
+        vn = neck.init({'params': key}, xt)
+
+        @jax.jit
+        def f_n(v, x, s):
+            out = neck.apply(v, x + s.astype(dt))
+            return out, jnp.float32(jnp.sum(out[0, 0, 0, :2]))
+
+        per = chain_time(lambda x, s: f_n(vn, x, s), xt, args.iters)
+        results['enc_neck_ms'] = per * 1000 / B5
+        print(f'neck: {per*1000/B5:.3f} ms/crop')
+        w_l = results['enc_windowed_block_ms']
+        g_l = results['enc_global_block_ms']
+        print(f'sum(8 windowed + 4 global + patch + neck): '
+              f'{8*w_l + 4*g_l + results["enc_patch_embed_ms"] + results["enc_neck_ms"]:.2f} ms/crop')
+        print(json.dumps(results))
+        return
 
     # ---------------- ViT-B encode, batch = crop pyramid ------------------
     if not args.skip_encode:
