@@ -47,8 +47,15 @@ def main():
     gen.generate_regions_batch(tiles)              # compile
     iters = int(os.environ.get('BENCH_SAM_ITERS', '3'))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        gen.generate_regions_batch(tiles)
+    if os.environ.get('BENCH_SAM_NO_STREAM'):
+        # unpipelined A/B floor: each batch's host tail (NMS + canvas
+        # download) serializes against the next batch's device work
+        for _ in range(iters):
+            gen.generate_regions_batch(tiles)
+    else:
+        for _ in gen.generate_regions_stream(
+                (tiles for _ in range(iters))):
+            pass
     dt = time.perf_counter() - t0
     tps = iters * batch / dt
     print(json.dumps({'metric': 'sam_region_gen_tiles_per_sec_per_chip',

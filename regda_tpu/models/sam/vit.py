@@ -314,15 +314,28 @@ class ImageEncoderViT(nn.Module):
                        name='patch_embed')(x)
         pos = self.param('pos_embed', nn.initializers.zeros,
                          (1, grid, grid, self.embed_dim))
-        x = x + pos
+        # keep the residual stream in the COMPUTE dtype: the f32 pos_embed
+        # param would otherwise promote this add and every block's residual
+        # add after it to f32 — doubling residual-stream HBM traffic and
+        # inserting a bf16->f32 convert after each attention/MLP (XProf:
+        # ~14 ms/tile of convert_add fusions on the 5-crop pyramid encode).
+        # In f32 mode this cast is a no-op; norms still reduce in f32.
+        x = (x + pos.astype(self.dtype)).astype(self.dtype)
         # persistent windowed layout across consecutive windowed blocks:
         # one partition per windowed run + one unpartition before each
         # global block, instead of a pair per block (see Block.__call__)
         windowed = [i not in self.global_attn_indexes
                     and self.window_size > 0 for i in range(self.depth)]
+        # A/B escape hatch (trace-time): repartition per block instead of
+        # the persistent layout — the two permutes per block fuse into
+        # neighbors well enough that per-layer timings are within ~10% of
+        # each other on v5e; keep both measurable
+        import os as _os
+        persistent = not _os.environ.get('REGDA_VIT_WINDOW_REPARTITION')
         layout_windowed = False
         for i in range(self.depth):
-            w_out = windowed[i] and (i + 1 < self.depth) and windowed[i + 1]
+            w_out = (persistent and windowed[i] and (i + 1 < self.depth)
+                     and windowed[i + 1])
             x = Block(self.embed_dim, self.num_heads,
                       window_size=self.window_size if windowed[i] else 0,
                       input_size=(grid, grid), dtype=self.dtype,

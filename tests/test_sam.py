@@ -285,6 +285,27 @@ def test_generate_regions_batch_matches_single(tiny_sam):
         np.testing.assert_array_equal(b, s)
 
 
+def test_generate_regions_stream_matches_batch(tiny_sam):
+    """The pipelined stream API (depth-2 in-flight batches) must yield
+    bit-identical maps, in order, to per-batch generate_regions_batch."""
+    from regda_tpu.models.sam.auto import SamRegionGenerator
+    model, variables = tiny_sam
+    gen = SamRegionGenerator(model, variables, points_per_side=4,
+                             points_per_batch=8, pred_iou_thresh=-1e9,
+                             stability_score_thresh=0.0, crop_n_layers=0,
+                             mask_budget=16)
+    rng = np.random.RandomState(11)
+    batches = [[rng.randint(0, 255, (64, 64, 3), np.uint8)
+                for _ in range(2)] for _ in range(3)]
+    streamed = list(gen.generate_regions_stream(iter(batches),
+                                                area_threshold=16))
+    assert len(streamed) == len(batches)
+    for tiles, maps in zip(batches, streamed):
+        ref = gen.generate_regions_batch(tiles, area_threshold=16)
+        for a, b in zip(maps, ref):
+            np.testing.assert_array_equal(a, b)
+
+
 def test_generate_regions_batch_matches_single_crop_pyramid(tiny_sam):
     """The pyramid-BATCHED phase 1 (all crop positions of a tile encoded
     in one batched ViT pass) must reproduce the sequential per-crop path

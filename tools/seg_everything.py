@@ -94,23 +94,35 @@ if __name__ == '__main__':
         os.makedirs(out_dir, exist_ok=True)
         t0 = time.time()
         bt = max(args.batch_tiles, 1) if args.fast else 1
-        for lo in range(0, len(files), bt):
-            chunk = files[lo:lo + bt]
-            images = [np.asarray(Image.open(os.path.join(img_dir, f))
-                                 .convert('RGB')) for f in chunk]
-            if args.fast:
-                region_maps = gen.generate_regions_batch(
-                    images, args.area_threshold)
-            else:
-                region_maps = []
-                for image in images:
-                    anns = gen.generate(image)
-                    region_maps.append(regions_from_anns(
-                        anns, image.shape[:2], args.area_threshold))
+        chunks = [files[lo:lo + bt] for lo in range(0, len(files), bt)]
+
+        def _load(chunk):
+            return [np.asarray(Image.open(os.path.join(img_dir, f))
+                               .convert('RGB')) for f in chunk]
+
+        if args.fast:
+            # pipelined: batch k+1's device work dispatches before batch
+            # k's host tail (NMS + canvas download) — the device never
+            # idles on the host between batches
+            maps_iter = gen.generate_regions_stream(
+                (_load(c) for c in chunks), args.area_threshold)
+        else:
+            def _slow():
+                for chunk in chunks:
+                    maps = []
+                    for image in _load(chunk):
+                        anns = gen.generate(image)
+                        maps.append(regions_from_anns(
+                            anns, image.shape[:2], args.area_threshold))
+                    yield maps
+
+            maps_iter = _slow()
+        done = 0
+        for chunk, region_maps in zip(chunks, maps_iter):
             for fname, regions in zip(chunk, region_maps):
                 Image.fromarray(regions, mode='I').save(
                     os.path.join(out_dir, fname.replace('.png', '.tif')))
-            done = lo + len(chunk)
+            done += len(chunk)
             rate = done / (time.time() - t0)
             print(f'{img_dir}: {done}/{len(files)} tiles '
                   f'({rate:.2f} tiles/s)')
