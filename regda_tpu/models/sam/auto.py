@@ -291,14 +291,11 @@ class SamAutomaticMaskGenerator:
         major BLOCKED layout (B, M*16, HW) through stability + budget
         selection; only the selected masks are interleaved. Removes the
         per-candidate depth-to-space HBM relayout (~84 ms/tile at
-        crop_n_layers=1 on v5e — see PERF.md). Off for the factored and
-        mono decoders (their kernels own the mask layout) and under
-        REGDA_NO_BLOCKED_MASKS (A/B escape hatch)."""
+        crop_n_layers=1 on v5e — see PERF.md). The mono decode kernel
+        emits the same layout straight from VMEM. Off for the factored
+        decoder and under REGDA_NO_BLOCKED_MASKS (A/B escape hatch)."""
         import os as _os
-        mono = bool(_os.environ.get('REGDA_MONO_DECODE')
-                    and not _os.environ.get('REGDA_NO_MONO'))
         return (self.fused_upscale and not self.factored_decoder
-                and not mono
                 and not _os.environ.get('REGDA_NO_BLOCKED_MASKS'))
 
     def _decode_fn(self, key_hw=None):

@@ -595,7 +595,7 @@ def two_way_transformer_fused2(params, image_embedding, image_pe,
 def mask_decoder_mono(params, image_embedding, image_pe, point_embedding,
                       num_heads=8, dtype=jnp.float32,
                       mask_dtype=jnp.float32, interpret=None,
-                      iou_gate_thresh=None):
+                      iou_gate_thresh=None, blocked_masks=False):
     """Monolithic decode: two-way transformer + hypernetwork MLPs + mask
     head in ONE Pallas program per prompt (pallas_monodecode.py) — the
     per-prompt key state never leaves VMEM. Returns (queries (B, n, C),
@@ -627,7 +627,8 @@ def mask_decoder_mono(params, image_embedding, image_pe, point_embedding,
                  ih['lin2']['kernel'], ih['lin2']['bias'])
     out = mono_decode(operands, hyper_w, up_w, num_heads,
                       out_dtype=mask_dtype, interpret=interpret,
-                      iou_w=iou_w, iou_thresh=iou_gate_thresh)
+                      iou_w=iou_w, iou_thresh=iou_gate_thresh,
+                      blocked=blocked_masks)
     if iou_gate_thresh is not None:
         masks, qout, iou = out
         return qout[:, :n], masks, iou
@@ -730,8 +731,8 @@ def mask_decoder_fast(params, image_embeddings, image_pe, sparse_prompt,
     (B, M*16, HW) instead of interleaved (B, M, 4H, 4W) — see
     pallas_stability's module note; the everything-mode decode scores
     stability and selects the mask budget in this layout and interleaves
-    only the survivors. Skips the mono path (whose kernel interleaves
-    in-VMEM already).
+    only the survivors. The mono path emits the same layout straight from
+    VMEM (pallas_monodecode blocked=True).
     """
     num_mask_tokens = num_multimask_outputs + 1
     b = sparse_prompt.shape[0]
@@ -746,10 +747,11 @@ def mask_decoder_fast(params, image_embeddings, image_pe, sparse_prompt,
     pe4 = image_pe[None] if image_pe.ndim == 3 else image_pe
     mono_ok = (fused_upscale and not factored and multimask_output
                and num_multimask_outputs == 3)
-    # TODO(flip to default-on for TPU once compiled+measured on the real
-    # chip — the tunnel was down when this landed; CPU interpret parity
-    # and e2e are green)
-    if (mono_ok and not blocked_masks
+    # opt-in until the on-chip A/B with the blocked layout decides the
+    # default (the interleaved-output A/B measured mono ~even with the
+    # two-step path; blocked output removes the relayout that inverted
+    # its win under exact stability)
+    if (mono_ok
             and (_os.environ.get('REGDA_MONO_DECODE')
                  and not _os.environ.get('REGDA_NO_MONO'))):
         # monolithic per-prompt decode (pallas_monodecode.py): the key
@@ -757,7 +759,8 @@ def mask_decoder_fast(params, image_embeddings, image_pe, sparse_prompt,
         hs, masks, iou_k = mask_decoder_mono(
             params, src_shared, pe4, tokens, num_heads=num_heads,
             dtype=dtype, mask_dtype=mask_dtype or jnp.float32,
-            iou_gate_thresh=iou_gate_thresh)
+            iou_gate_thresh=iou_gate_thresh,
+            blocked_masks=blocked_masks)
         if iou_k is not None:
             # gated: the kernel's iou IS the filter array (the gate
             # decided from it — see pallas_monodecode), computed from the

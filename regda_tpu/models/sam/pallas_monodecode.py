@@ -50,7 +50,8 @@ PIX = 1024         # mask-head row-block size (bounds VMEM)
 
 
 def _kernel(*refs, num_heads: int, head_dim: int, ln_dt: bool,
-            c4: int, c8: int, pp: int = 1, iou_thresh=None):
+            c4: int, c8: int, pp: int = 1, iou_thresh=None,
+            blocked: bool = False):
     (ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
      keys0_ref, pe_ref, qimg0_ref,
      colmask_ref, rowmask_ref, maskb_ref) = refs[:10]
@@ -80,7 +81,7 @@ def _kernel(*refs, num_heads: int, head_dim: int, ln_dt: bool,
                   hyb1_ref, hybd2_ref, hyb2_ref, masks_out_ref, qout_ref,
                   num_heads=num_heads, head_dim=head_dim, ln_dt=ln_dt,
                   c4=c4, c8=c8, iou_refs=iou_refs, iou_thresh=iou_thresh,
-                  iou_out_ref=iou_out_ref)
+                  iou_out_ref=iou_out_ref, blocked=blocked)
 
 
 def _mono_one(j, ktok0_ref, vtok0_ref, q1_ref, qpe_ref, keys0_ref,
@@ -90,7 +91,7 @@ def _mono_one(j, ktok0_ref, vtok0_ref, q1_ref, qpe_ref, keys0_ref,
               hyb1_ref, hybd2_ref, hyb2_ref, masks_out_ref, qout_ref,
               *, num_heads: int, head_dim: int, ln_dt: bool,
               c4: int, c8: int, iou_refs=None, iou_thresh=None,
-              iou_out_ref=None):
+              iou_out_ref=None, blocked: bool = False):
     f32 = jnp.float32
     dt = keys0_ref.dtype
     keys2, qfin = _twoway_body(
@@ -137,7 +138,7 @@ def _mono_one(j, ktok0_ref, vtok0_ref, q1_ref, qpe_ref, keys0_ref,
             _mask_head(j, keys2, qfin, k1_ref, b1_ref, pool_ref, lnw_ref,
                        lnb_ref, k2bd_ref, b2t_ref, hybd0_ref, hyb0_ref,
                        hybd1_ref, hyb1_ref, hybd2_ref, hyb2_ref,
-                       masks_out_ref, c4=c4, c8=c8)
+                       masks_out_ref, c4=c4, c8=c8, blocked=blocked)
 
         @pl.when(jnp.logical_not(gate))
         def _zero_out():
@@ -147,12 +148,14 @@ def _mono_one(j, ktok0_ref, vtok0_ref, q1_ref, qpe_ref, keys0_ref,
 
     _mask_head(j, keys2, qfin, k1_ref, b1_ref, pool_ref, lnw_ref, lnb_ref,
                k2bd_ref, b2t_ref, hybd0_ref, hyb0_ref, hybd1_ref, hyb1_ref,
-               hybd2_ref, hyb2_ref, masks_out_ref, c4=c4, c8=c8)
+               hybd2_ref, hyb2_ref, masks_out_ref, c4=c4, c8=c8,
+               blocked=blocked)
 
 
 def _mask_head(j, keys2, qfin, k1_ref, b1_ref, pool_ref, lnw_ref, lnb_ref,
                k2bd_ref, b2t_ref, hybd0_ref, hyb0_ref, hybd1_ref, hyb1_ref,
-               hybd2_ref, hyb2_ref, masks_out_ref, *, c4: int, c8: int):
+               hybd2_ref, hyb2_ref, masks_out_ref, *, c4: int, c8: int,
+               blocked: bool = False):
     f32 = jnp.float32
     dt = keys2.dtype
 
@@ -185,22 +188,43 @@ def _mask_head(j, keys2, qfin, k1_ref, b1_ref, pool_ref, lnw_ref, lnb_ref,
     # via iota masks: P2[r, j] = hcat[0, (j//16)*c8 + (r % c8)]
     r16 = 16 * c8
     cols = M_SEL * 16
-    rr = jax.lax.broadcasted_iota(jnp.int32, (r16, M_SEL * c8), 0)
-    qq = jax.lax.broadcasted_iota(jnp.int32, (r16, M_SEL * c8), 1)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (M_SEL * c8, cols), 1)
-    mq = jax.lax.broadcasted_iota(jnp.int32, (M_SEL * c8, cols), 0)
-    # sel_q2j[q, j] = (q // c8 == j // 16): routes hyper lane block m to
-    # output column block m
-    sel_q2j = ((mq // c8) == (jj // 16)).astype(f32)
-    # rsel[r, q] = (q % c8 == r % c8); scaling its columns by the hyper
-    # row (a plain lane broadcast) folds the values in without any
-    # transpose, and the 0/1 selector keeps the product exact in f32
-    rsel = ((qq % c8) == (rr % c8)).astype(f32)
-    p2 = jnp.dot(rsel * hcat, sel_q2j, preferred_element_type=f32)
-    ri = jax.lax.broadcasted_iota(jnp.int32, (r16, cols), 0)
-    ci = jax.lax.broadcasted_iota(jnp.int32, (r16, cols), 1)
-    p1 = ((ri // c8) == (ci % 16)).astype(f32)
-    w_hyper = (p1 * p2).astype(dt)                       # (16*c8, M*16)
+    if blocked:
+        # candidate-major output: build W PRE-TRANSPOSED (M*16, 16*c8) so
+        # the A @ B^T dot emits (M*16, PIX) blocks directly and the caller
+        # never pays the pixel-major -> candidate-major HBM relayout (the
+        # round-2 A/B showed that relayout inverting the mono kernel's
+        # win under exact stability).
+        #   Wt[jc, r] = hcat[0, (jc//16)*c8 + (r % c8)] * ((r//c8) == jc%16)
+        jq = jax.lax.broadcasted_iota(jnp.int32, (cols, M_SEL * c8), 0)
+        qq_t = jax.lax.broadcasted_iota(jnp.int32, (cols, M_SEL * c8), 1)
+        # A[jc, q] = (q // c8 == jc // 16): mask m's hyper lanes -> its
+        # 16-column block; * hcat broadcasts the values in
+        a_sel = ((qq_t // c8) == (jq // 16)).astype(f32) * hcat
+        qs = jax.lax.broadcasted_iota(jnp.int32, (M_SEL * c8, r16), 0)
+        rs = jax.lax.broadcasted_iota(jnp.int32, (M_SEL * c8, r16), 1)
+        s_qr = ((qs % c8) == (rs % c8)).astype(f32)      # lane spread
+        p2t = jnp.dot(a_sel, s_qr, preferred_element_type=f32)
+        ji = jax.lax.broadcasted_iota(jnp.int32, (cols, r16), 0)
+        ri_t = jax.lax.broadcasted_iota(jnp.int32, (cols, r16), 1)
+        p1t = ((ri_t // c8) == (ji % 16)).astype(f32)
+        w_hyper_t = (p1t * p2t).astype(dt)               # (M*16, 16*c8)
+    else:
+        rr = jax.lax.broadcasted_iota(jnp.int32, (r16, M_SEL * c8), 0)
+        qq = jax.lax.broadcasted_iota(jnp.int32, (r16, M_SEL * c8), 1)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (M_SEL * c8, cols), 1)
+        mq = jax.lax.broadcasted_iota(jnp.int32, (M_SEL * c8, cols), 0)
+        # sel_q2j[q, j] = (q // c8 == j // 16): routes hyper lane block m
+        # to output column block m
+        sel_q2j = ((mq // c8) == (jj // 16)).astype(f32)
+        # rsel[r, q] = (q % c8 == r % c8); scaling its columns by the
+        # hyper row (a plain lane broadcast) folds the values in without
+        # any transpose, and the 0/1 selector keeps the product exact
+        rsel = ((qq % c8) == (rr % c8)).astype(f32)
+        p2 = jnp.dot(rsel * hcat, sel_q2j, preferred_element_type=f32)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (r16, cols), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (r16, cols), 1)
+        p1 = ((ri // c8) == (ci % 16)).astype(f32)
+        w_hyper = (p1 * p2).astype(dt)                   # (16*c8, M*16)
 
     # ---- mask head: stream keys2 row blocks through the GEMM chain ----
     t = keys2.shape[0]
@@ -227,9 +251,17 @@ def _mask_head(j, keys2, qfin, k1_ref, b1_ref, pool_ref, lnw_ref, lnb_ref,
                      preferred_element_type=f32)], axis=-1)
         t2 = (t2 + b2t_ref[0][None, :]).astype(dt)       # (PIX, 16*c8)
         t2 = _gelu_exact(t2)
-        out = jnp.dot(t2.astype(dt), w_hyper, preferred_element_type=f32)
-        masks_out_ref[j, blk * pix:(blk + 1) * pix] = out.astype(
-            masks_out_ref.dtype)
+        if blocked:
+            out = jax.lax.dot_general(
+                w_hyper_t, t2.astype(dt), (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)              # (M*16, PIX)
+            masks_out_ref[j, :, blk * pix:(blk + 1) * pix] = out.astype(
+                masks_out_ref.dtype)
+        else:
+            out = jnp.dot(t2.astype(dt), w_hyper,
+                          preferred_element_type=f32)
+            masks_out_ref[j, blk * pix:(blk + 1) * pix] = out.astype(
+                masks_out_ref.dtype)
 
 
 def _hyper_blockdiag(hyper_w, dtype):
@@ -293,11 +325,11 @@ _mono_cvjp.defvjp(_mono_fwd, _mono_bwd)
 
 @functools.partial(jax.jit,
                    static_argnames=('num_heads', 'out_dtype', 'interpret',
-                                    'iou_thresh', 'pp', 'ln_dt'))
+                                    'iou_thresh', 'pp', 'ln_dt', 'blocked'))
 def _mono_fwd_impl(allops, num_heads: int = 8, out_dtype=jnp.float32,
                    interpret: bool | None = None, iou_w=None,
                    iou_thresh: float | None = None, pp: int = 2,
-                   ln_dt: bool = False):
+                   ln_dt: bool = False, blocked: bool = False):
     operands, hyper_w, up_w = allops
     (ktok0, vtok0, q1, qpe, keys0, pe, qimg0, maskb, w) = operands
     if interpret is None:
@@ -377,12 +409,23 @@ def _mono_fwd_impl(allops, num_heads: int = 8, out_dtype=jnp.float32,
                  const(colmask.shape), const(rowmask.shape),
                  const((1, NP))] + weight_specs + mask_specs)
 
-    out_shapes = [jax.ShapeDtypeStruct((b, t, M_SEL * 16), out_dtype),
-                  jax.ShapeDtypeStruct((b, NP, c), dt)]
-    out_specs = [pl.BlockSpec((pp, t, M_SEL * 16), lambda i: (i, 0, 0),
-                              memory_space=pltpu.VMEM),
-                 pl.BlockSpec((pp, NP, c), lambda i: (i, 0, 0),
-                              memory_space=pltpu.VMEM)]
+    if blocked:
+        # candidate-major blocked masks (B, M*16, T) — the upscale
+        # kernel's blocked contract, consumed relayout-free by
+        # stability_counts_blocked and the budget selection
+        out_shapes = [jax.ShapeDtypeStruct((b, M_SEL * 16, t), out_dtype),
+                      jax.ShapeDtypeStruct((b, NP, c), dt)]
+        out_specs = [pl.BlockSpec((pp, M_SEL * 16, t), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM),
+                     pl.BlockSpec((pp, NP, c), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+    else:
+        out_shapes = [jax.ShapeDtypeStruct((b, t, M_SEL * 16), out_dtype),
+                      jax.ShapeDtypeStruct((b, NP, c), dt)]
+        out_specs = [pl.BlockSpec((pp, t, M_SEL * 16), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM),
+                     pl.BlockSpec((pp, NP, c), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)]
     if iou_thresh is not None:
         # the in-kernel iou head's output lanes (128-padded; lanes 1..3
         # are the returned masks' predictions) — the CANONICAL iou the
@@ -394,7 +437,7 @@ def _mono_fwd_impl(allops, num_heads: int = 8, out_dtype=jnp.float32,
     outs = pl.pallas_call(
         functools.partial(_kernel, num_heads=num_heads, head_dim=hd,
                           ln_dt=ln_dt, c4=c4, c8=c8, pp=pp,
-                          iou_thresh=iou_thresh),
+                          iou_thresh=iou_thresh, blocked=blocked),
         out_shape=out_shapes,
         grid=(b // pp,),
         in_specs=in_specs,
@@ -403,9 +446,12 @@ def _mono_fwd_impl(allops, num_heads: int = 8, out_dtype=jnp.float32,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
     )(*operands_flat)
-    blocked, qout = outs[0], outs[1]
-    h = w_hw = int(round(t ** 0.5))
-    masks = _interleave(blocked, b, h, w_hw, M_SEL)
+    raw, qout = outs[0], outs[1]
+    if blocked:
+        masks = raw                                      # (B, M*16, T)
+    else:
+        h = w_hw = int(round(t ** 0.5))
+        masks = _interleave(raw, b, h, w_hw, M_SEL)
     if iou_thresh is not None:
         return masks, qout, outs[2][:, 0, 1:1 + M_SEL]
     return masks, qout
@@ -413,7 +459,8 @@ def _mono_fwd_impl(allops, num_heads: int = 8, out_dtype=jnp.float32,
 
 def mono_decode(operands, hyper_w, up_w, num_heads: int = 8,
                 out_dtype=jnp.float32, interpret: bool | None = None,
-                iou_w=None, iou_thresh: float | None = None):
+                iou_w=None, iou_thresh: float | None = None,
+                blocked: bool = False):
     """Monolithic per-prompt SAM decode.
 
     operands: the two_way_fused tuple (ktok0, vtok0, q1, qpe, keys0, pe,
@@ -443,10 +490,15 @@ def mono_decode(operands, hyper_w, up_w, num_heads: int = 8,
     import os
     pp = int(os.environ.get('REGDA_MONO_PP', '2'))
     ln_dt = os.environ.get('REGDA_TWOWAY_LN_DT', '0') == '1'
-    if iou_thresh is not None:
+    if iou_thresh is not None or blocked:
+        # blocked output (candidate-major (B, M*16, T), the upscale
+        # kernel's blocked contract) is inference-only, like the gated
+        # path and the upscale kernel's own blocked mode
         return _mono_fwd_impl((operands, hyper_w, up_w), num_heads,
                               out_dtype, interpret, iou_w=iou_w,
-                              iou_thresh=float(iou_thresh), pp=pp,
-                              ln_dt=ln_dt)
+                              iou_thresh=(float(iou_thresh)
+                                          if iou_thresh is not None
+                                          else None),
+                              pp=pp, ln_dt=ln_dt, blocked=blocked)
     return _mono_cvjp((operands, hyper_w, up_w), num_heads, out_dtype,
                       interpret, pp, ln_dt)

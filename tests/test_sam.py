@@ -928,6 +928,44 @@ def test_mask_decoder_mono_equals_two_step(monkeypatch):
     assert float(jnp.abs(g).sum()) > 0.0
 
 
+def test_mask_decoder_mono_blocked_matches_two_step_blocked(monkeypatch):
+    """The mono kernel's candidate-major BLOCKED output (emitted straight
+    from VMEM via the pre-transposed hypernetwork GEMM) == the two-step
+    blocked path, both gated and ungated."""
+    from regda_tpu.models.sam.decoder import MaskDecoder
+    from regda_tpu.models.sam.factored_decoder import mask_decoder_fast
+
+    dec = MaskDecoder(dtype=jnp.float32)
+    emb = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 256)) * 0.5
+    pe = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 256)) * 0.5
+    sparse = jax.random.normal(jax.random.PRNGKey(3), (6, 2, 256)) * 0.5
+    dense = jax.random.normal(jax.random.PRNGKey(4), (1, 8, 8, 256)) * 0.5
+    variables = dec.init(jax.random.PRNGKey(0), emb, pe, sparse, dense)
+    params = variables['params']
+
+    for gate in (None, 0.0):
+        monkeypatch.delenv('REGDA_MONO_DECODE', raising=False)
+        m0, i0 = mask_decoder_fast(params, emb, pe[0], sparse, dense,
+                                   fused_upscale=True, factored=False,
+                                   iou_gate_thresh=gate,
+                                   blocked_masks=True)
+        monkeypatch.setenv('REGDA_MONO_DECODE', '1')
+        m1, i1 = mask_decoder_fast(params, emb, pe[0], sparse, dense,
+                                   fused_upscale=True, factored=False,
+                                   iou_gate_thresh=gate,
+                                   blocked_masks=True)
+        assert m1.shape == m0.shape == (6, 48, 64)
+        np.testing.assert_allclose(np.asarray(i1), np.asarray(i0),
+                                   rtol=2e-4, atol=2e-4)
+        if gate is not None:
+            # zeroed blocks only where BOTH paths gate the prompt off
+            keep = np.asarray(jnp.any(i0 > gate, axis=1))
+            m0n, m1n = np.asarray(m0)[keep], np.asarray(m1)[keep]
+        else:
+            m0n, m1n = np.asarray(m0), np.asarray(m1)
+        np.testing.assert_allclose(m1n, m0n, rtol=2e-4, atol=2e-4)
+
+
 def test_mask_stats_fused_active_gating():
     """Slots with active=False are skipped (garbage out); active slots
     must be bit-identical to the all-active run."""
