@@ -16,6 +16,10 @@ echo "=== stream + upscale split 4 ==="
 REGDA_UPSCALE_SPLIT=4 timeout 1800 python bench_sam.py
 echo "=== stream + window repartition ==="
 REGDA_VIT_WINDOW_REPARTITION=1 timeout 1800 python bench_sam.py
+echo "=== stream + mono-blocked pp=1 ==="
+REGDA_MONO_DECODE=1 REGDA_MONO_PP=1 timeout 1800 python bench_sam.py
+echo "=== stream + mono-blocked pp=2 ==="
+REGDA_MONO_DECODE=1 REGDA_MONO_PP=2 timeout 1800 python bench_sam.py
 echo "=== phase breakdown at HEAD ==="
 timeout 1200 python tools/bench_sam_phases.py --encode-layers --iters 10 --crops 5
 echo "=== bench_sam_r3b done ==="
