@@ -857,21 +857,132 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
 
 
     # ----------------------------------------------- batched (vmapped) jits
-    def _decode_all_batch_fn(self, n_pts: int, key_hw=None):
+    def _decode_all_batch_fn(self, n_pts: int, key_hw=None,
+                             skip: bool = True):
+        import os as _os
         exact = self.stability_on_upscaled and key_hw is not None
-        # the captured single-sample body carries the gate config, so it
-        # keys this jit too (see _decode_fn)
-        single = self._decode_all_fn(n_pts, key_hw)
-        key = ('decode_all_batch', n_pts, key_hw if exact else None, single)
+        skip = skip and not _os.environ.get('REGDA_NO_BUDGET_SKIP')
+        if not skip:
+            # escape hatch / mesh path: vmap the single-sample body. Under
+            # vmap a lax.cond lowers to select (both branches execute), so
+            # the budget skip below would be dead weight here.
+            single = self._decode_all_fn(n_pts, key_hw)
+            key = ('decode_all_batch', n_pts, key_hw if exact else None,
+                   single)
+            if key not in self._jits:
+                # embedding keeps its leading 1 so decode_points sees
+                # (1, 64, 64, 256)
+
+                def batched(variables, embs, points, valid):
+                    return jax.vmap(lambda e: single(variables, e, points,
+                                                     valid))(embs)
+
+                self._jits[key] = jax.jit(batched)
+            return self._jits[key]
+        return self._decode_all_batch_skip_fn(n_pts, key_hw)
+
+    def _decode_all_batch_skip_fn(self, n_pts: int, key_hw=None):
+        """Batched decode_all with BUDGET SKIP: the scan over point chunks
+        runs at the batch level (not under vmap), so once every position's
+        first-`mask_budget`-in-order selection is full the remaining
+        chunks take a real lax.cond branch and skip their decode +
+        stability work entirely. Output-identical to the vmap path by
+        construction: selection keeps the first `budget` candidates
+        passing the IoU/stability filters in point order either way, and
+        chunks past the fill point can never contribute to it (slots the
+        filter rejects carry garbage/zero logits in both paths and every
+        consumer ANDs with `ok`). At everything-mode pass rates the crop-0
+        grid fills its budget within ~2 of 8 chunks, so most of the
+        decode cost of the reference crop_n_layers=1 configuration
+        (local_region_homog.py:32-39) is dead work this branch removes.
+
+        The selection itself is folded INTO the scan as a per-chunk
+        running-ordinal one-hot matmul, replacing the stacked
+        (n_pts*3, HW) candidate tensor (~400 MB HBM at crop-1) + post-hoc
+        top_k gather with a (budget, chunk) GEMM per step."""
+        exact = self.stability_on_upscaled and key_hw is not None
+        decode_chunk = self._decode_fn(key_hw)
+        blocked = self._blocked_masks()
+        key = ('decode_all_batch_skip', n_pts, key_hw if exact else None,
+               decode_chunk, blocked)
         if key not in self._jits:
-            # reuse the single-sample decode_all body under vmap; embedding
-            # keeps its leading 1 so decode_points sees (1, 64, 64, 256)
+            pb = self.points_per_batch
+            budget = self.mask_budget
+            t_iou, t_st = self.pred_iou_thresh, self.stability_score_thresh
 
-            def batched(variables, embs, points, valid):
-                return jax.vmap(lambda e: single(variables, e, points,
-                                                 valid))(embs)
+            def dec_all_b(variables, embs, points, valid_pts):
+                b = embs.shape[0]
+                pts = points.reshape(-1, pb, 2)              # (K, pb, 2)
+                vld = valid_pts.reshape(-1, pb)              # (K, pb)
+                d = pb * 3
+                n = n_pts * 3
+                bud = min(budget, n)
 
-            self._jits[key] = jax.jit(batched)
+                def live_chunk(chunk):
+                    return jax.vmap(
+                        lambda e: decode_chunk(variables, e, chunk))(embs)
+
+                out_struct = jax.eval_shape(live_chunk, pts[0])
+                m_struct = out_struct[0]
+                # candidate-major rows: (pb, 3, S, S) -> (pb*3, S*S);
+                # blocked (pb, 48, hw) -> (pb*3, 16*hw) (48 = 3 cand x 16
+                # subblocks, row-major, so the reshape is free)
+                feat = int(np.prod(m_struct.shape[1:])) // d
+                iou_dt = out_struct[1].dtype
+
+                def body(carry, xs):
+                    n_ok, sel_m, sel_iou, sel_ok = carry
+                    chunk, v = xs
+                    need = jnp.any(n_ok < bud)
+                    masks, iou, stab = jax.lax.cond(
+                        need,
+                        lambda _: live_chunk(chunk),
+                        lambda _: jax.tree.map(
+                            lambda st: jnp.zeros(st.shape, st.dtype),
+                            out_struct),
+                        None)
+                    # per-candidate pass flags; a skipped chunk's are
+                    # forced false (its zero iou/stab would already fail
+                    # the reference thresholds, but don't rely on that)
+                    okc = (v[None, :, None] & (iou > t_iou)
+                           & (stab >= t_st) & need)
+                    okf = okc.reshape(b, d)
+                    # running first-in-order ordinal per candidate; only
+                    # ordinals < budget land a one-hot row
+                    ordn = (n_ok[:, None]
+                            + jnp.cumsum(okf.astype(jnp.int32), axis=1) - 1)
+                    ordn = jnp.where(okf, ordn, -1)
+                    oh = (ordn[:, None, :]
+                          == jnp.arange(bud, dtype=jnp.int32)[None, :, None])
+                    mf = masks.reshape(b, d, feat)
+                    sel_m = sel_m + jnp.einsum(
+                        'bkd,bdf->bkf', oh.astype(mf.dtype), mf)
+                    sel_iou = sel_iou + jnp.einsum(
+                        'bkd,bd->bk', oh.astype(iou_dt),
+                        iou.reshape(b, d).astype(iou_dt))
+                    sel_ok = sel_ok | (oh & okf[:, None, :]).any(-1)
+                    return ((n_ok + okf.sum(1, dtype=jnp.int32),
+                             sel_m, sel_iou, sel_ok), None)
+
+                init = (jnp.zeros((b,), jnp.int32),
+                        jnp.zeros((b, bud, feat), m_struct.dtype),
+                        jnp.zeros((b, bud), iou_dt),
+                        jnp.zeros((b, bud), jnp.bool_))
+                (_, sel_m, sel_iou, sel_ok), _ = jax.lax.scan(
+                    body, init, (pts, vld))
+                if blocked:
+                    from regda_tpu.models.sam.pallas_stability import (
+                        unblock_masks)
+                    hw = m_struct.shape[-1]
+                    h = int(np.sqrt(hw))
+                    sel_m = unblock_masks(
+                        sel_m.reshape(b * bud, 16 * h, h), h, h
+                    ).reshape(b, bud, 4 * h, 4 * h)
+                else:
+                    sel_m = sel_m.reshape(b, bud, *m_struct.shape[-2:])
+                return sel_m, sel_iou, sel_ok
+
+            self._jits[key] = jax.jit(dec_all_b)
         return self._jits[key]
 
     def _mask_stats_packed_fn(self, key_hw):
@@ -1004,8 +1115,13 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
             # its own candidate tensors live, so larger tile batches go
             # through as consecutive n_dev-wide sharded dispatches instead
             # of deeper per-device batching
+            # skip=False: under GSPMD the budget-skip's scalar `need`
+            # would psum across the sharded tile axis every chunk (and
+            # skip only when EVERY device's tile is full) — keep the mesh
+            # path branch-free
             decode_b = self._decode_all_batch_fn(int(pts_padded.shape[0]),
-                                                 (nh, nw, ch, cw))
+                                                 (nh, nw, ch, cw),
+                                                 skip=False)
             stats_b = self._mask_stats_packed_fn((nh, nw, ch, cw))
             enc_b = self._encode_batch_fn()
             parts = []

@@ -44,13 +44,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(active_ref, logit_ref, mh_ref, mwt_ref, out_ref, *,
-            group: int, ch: int, cw: int, offset: float):
+            group: int, ch: int, cw: int, offset: float, dense: bool):
     """One program = `group` candidates: per-candidate programs spend
     more time on grid/DMA-issue overhead than on the matmuls (~17 us vs
     ~8 us of MXU work per candidate measured on v5e), so amortize the
     fixed costs over a G-candidate block. mh/mwt casts, the iota frame
     mask, and the output-lane selectors hoist out of the per-candidate
-    loop; a group whose candidates are ALL gated off skips everything."""
+    loop; a group whose candidates are ALL gated off skips everything.
+
+    dense=True drops the per-candidate pl.when (group-level gate only):
+    at everything-mode pass rates most candidates are active, and the
+    per-candidate branches cost scheduler overlap."""
     f32 = jnp.float32
     dt = logit_ref.dtype
     any_active = jnp.max(active_ref[:, 0, 0])
@@ -70,27 +74,33 @@ def _kernel(active_ref, logit_ref, mh_ref, mwt_ref, out_ref, *,
         # the union count, so mask to the true (ch, cw) frame
         valid = (rows_i < ch) & (cols_i < cw)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        def one(g):
+            x = logit_ref[g]                         # (S, S) compute dt
+            y1 = jnp.dot(mh, x, preferred_element_type=f32)  # (CH, S)
+            y = jnp.dot(y1.astype(dt), mwt,
+                        preferred_element_type=f32)          # (CH, CW)
+            inter = jnp.sum(jnp.where(valid & (y > offset), 1.0, 0.0),
+                            dtype=f32)
+            union = jnp.sum(jnp.where(valid & (y > -offset), 1.0, 0.0),
+                            dtype=f32)
+            row = jnp.where(lane == 0, inter, 0.0)
+            row = jnp.where(lane == 1, union, row)
+            out_ref[g] = row.astype(f32)
+
         for g in range(group):
-            @pl.when(active_ref[g, 0, 0] != 0)
-            def _(g=g):
-                x = logit_ref[g]                         # (S, S) compute dt
-                y1 = jnp.dot(mh, x, preferred_element_type=f32)  # (CH, S)
-                y = jnp.dot(y1.astype(dt), mwt,
-                            preferred_element_type=f32)          # (CH, CW)
-                inter = jnp.sum(jnp.where(valid & (y > offset), 1.0, 0.0),
-                                dtype=f32)
-                union = jnp.sum(jnp.where(valid & (y > -offset), 1.0, 0.0),
-                                dtype=f32)
-                row = jnp.where(lane == 0, inter, 0.0)
-                row = jnp.where(lane == 1, union, row)
-                out_ref[g] = row.astype(f32)
+            if dense:
+                one(g)
+            else:
+                pl.when(active_ref[g, 0, 0] != 0)(lambda g=g: one(g))
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('offset', 'interpret', 'group'))
+                   static_argnames=('offset', 'interpret', 'group',
+                                    'dense'))
 def stability_counts_fused(logits, m_h, m_wt, offset: float = 1.0,
                            active=None, interpret: bool | None = None,
-                           group: int = 8):
+                           group: int = 8, dense: bool = False):
     """(M, S, S) low-res mask logits + composed resize matrices
     m_h (ch, S), m_wt (S, cw) -> (inter (M,), union (M,)) f32 pixel counts
     of resize(logits) > +-offset over the (ch, cw) crop frame.
@@ -124,7 +134,7 @@ def stability_counts_fused(logits, m_h, m_wt, offset: float = 1.0,
 
     out = pl.pallas_call(
         functools.partial(_kernel, group=group, ch=ch, cw=cw,
-                          offset=float(offset)),
+                          offset=float(offset), dense=dense),
         out_shape=jax.ShapeDtypeStruct((mp, 1, 128), jnp.float32),
         grid=(mp // group,),
         in_specs=[pl.BlockSpec((group, 1, 128), lambda i: (i, 0, 0),
@@ -202,7 +212,7 @@ def blocked_resize_factors(m_h, m_w):
 
 def _kernel_blocked(active_ref, blk_ref, a_ref, b_ref, out_ref, *,
                     group: int, h: int, w: int, ch: int, cw: int,
-                    offset: float):
+                    offset: float, dense: bool):
     f32 = jnp.float32
     dt = blk_ref.dtype
     any_active = jnp.max(active_ref[:, 0, 0])
@@ -216,40 +226,44 @@ def _kernel_blocked(active_ref, blk_ref, a_ref, b_ref, out_ref, *,
         cols_i = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
         valid = (rows_i < ch) & (cols_i < cw)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        def one(g):
+            x = blk_ref[g]                           # (16h, w)
+            # row-resize per subpixel column t, accumulating the four
+            # subpixel-row planes s into R_t in f32
+            r = [jnp.zeros((a.shape[1], w), f32) for _ in range(4)]
+            for c in range(16):
+                xc = x[c * h:(c + 1) * h, :]         # (h, w) plane
+                r[_TMAP[c]] += jnp.dot(a[_SMAP[c]], xc,
+                                       preferred_element_type=f32)
+            # column-resize: Y += R_t B_t^T (A @ B^T dot_general)
+            y = jnp.zeros(shape, f32)
+            for t in range(4):
+                y += jax.lax.dot_general(
+                    r[t].astype(dt), b[t],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)
+            inter = jnp.sum(jnp.where(valid & (y > offset), 1.0, 0.0),
+                            dtype=f32)
+            union = jnp.sum(jnp.where(valid & (y > -offset), 1.0, 0.0),
+                            dtype=f32)
+            row = jnp.where(lane == 0, inter, 0.0)
+            row = jnp.where(lane == 1, union, row)
+            out_ref[g] = row.astype(f32)
+
         for g in range(group):
-            @pl.when(active_ref[g, 0, 0] != 0)
-            def _(g=g):
-                x = blk_ref[g]                           # (16h, w)
-                # row-resize per subpixel column t, accumulating the four
-                # subpixel-row planes s into R_t in f32
-                r = [jnp.zeros((a.shape[1], w), f32) for _ in range(4)]
-                for c in range(16):
-                    xc = x[c * h:(c + 1) * h, :]         # (h, w) plane
-                    r[_TMAP[c]] += jnp.dot(a[_SMAP[c]], xc,
-                                           preferred_element_type=f32)
-                # column-resize: Y += R_t B_t^T (A @ B^T dot_general)
-                y = jnp.zeros(shape, f32)
-                for t in range(4):
-                    y += jax.lax.dot_general(
-                        r[t].astype(dt), b[t],
-                        (((1,), (1,)), ((), ())),
-                        preferred_element_type=f32)
-                inter = jnp.sum(jnp.where(valid & (y > offset), 1.0, 0.0),
-                                dtype=f32)
-                union = jnp.sum(jnp.where(valid & (y > -offset), 1.0, 0.0),
-                                dtype=f32)
-                row = jnp.where(lane == 0, inter, 0.0)
-                row = jnp.where(lane == 1, union, row)
-                out_ref[g] = row.astype(f32)
+            if dense:
+                one(g)
+            else:
+                pl.when(active_ref[g, 0, 0] != 0)(lambda g=g: one(g))
 
 
 @functools.partial(jax.jit,
                    static_argnames=('h', 'w', 'offset', 'interpret',
-                                    'group'))
+                                    'group', 'dense'))
 def stability_counts_blocked(blk, m_h, m_w, h: int, w: int,
                              offset: float = 1.0, active=None,
                              interpret: bool | None = None,
-                             group: int = 4):
+                             group: int = 4, dense: bool = False):
     """(M, 16h, w) candidate-major blocked mask logits (see module note;
     reshape the upscale kernel's (B, M*16, h*w) output to (B*M, 16h, w) —
     row-major, so it is a free bitcast) + composed resize matrices
@@ -288,7 +302,7 @@ def stability_counts_blocked(blk, m_h, m_w, h: int, w: int,
 
     out = pl.pallas_call(
         functools.partial(_kernel_blocked, group=group, h=h, w=w, ch=ch,
-                          cw=cw, offset=float(offset)),
+                          cw=cw, offset=float(offset), dense=dense),
         out_shape=jax.ShapeDtypeStruct((mp, 1, 128), jnp.float32),
         grid=(mp // group,),
         in_specs=[pl.BlockSpec((group, 1, 128), lambda i: (i, 0, 0),
@@ -304,6 +318,127 @@ def stability_counts_blocked(blk, m_h, m_w, h: int, w: int,
     )(jnp.broadcast_to(active[:, None, None], (mp, 1, 128)),
       blk, a, b)
     return out[:m, 0, 0], out[:m, 0, 1]
+
+
+def _kernel_blocked_v2(active_ref, blk_ref, a_ref, bcat_ref, out_ref, *,
+                       group: int, h: int, w: int, ch: int, cw: int,
+                       offset: float):
+    """Restructured blocked kernel: instead of 16 (CH, h)x(h, w) + 4
+    (CH, w)x(CW, w)^T GEMMs PER CANDIDATE (N=w lanes — half the MXU at
+    w=64 — and a per-candidate pl.when chain), gather every candidate's
+    subpixel planes into a column-concat layout and run
+      4 GEMMs (CH, h) @ (h, G*4w)   [row resize, all candidates at once]
+      G GEMMs (CH, 4w) @ (4w, CW)   [column resize, full-width N]
+    Dense within the group: per-candidate gating is dropped (group-level
+    gate only) — at everything-mode pass rates most candidates are
+    active and the branches cost scheduler overlap. Inactive candidates
+    return REAL counts, within the garbage-tolerant contract."""
+    f32 = jnp.float32
+    dt = blk_ref.dtype
+    any_active = jnp.max(active_ref[:, 0, 0])
+
+    @pl.when(any_active != 0)
+    def _():
+        a = a_ref[...].astype(dt)                        # (4, CHP, h)
+        bcat = bcat_ref[...].astype(dt)                  # (4w, CWP)
+        shape = (a.shape[1], bcat.shape[1])
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        cols_i = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        valid = (rows_i < ch) & (cols_i < cw)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        # column-concat of subpixel planes, candidate-major bands:
+        # xcat[s][:, (g*4 + t)*w : +w] = plane (s, t) of candidate g
+        r = None
+        for s in range(4):
+            xcat = jnp.concatenate(
+                [blk_ref[g,
+                         ((s >> 1) * 8 + (t >> 1) * 4 + (s & 1) * 2
+                          + (t & 1)) * h:
+                         ((s >> 1) * 8 + (t >> 1) * 4 + (s & 1) * 2
+                          + (t & 1)) * h + h, :]
+                 for g in range(group) for t in range(4)], axis=1)
+            part = jnp.dot(a[s], xcat, preferred_element_type=f32)
+            r = part if r is None else r + part          # (CHP, G*4w) f32
+        rb = r.astype(dt)
+        for g in range(group):
+            y = jnp.dot(rb[:, g * 4 * w:(g + 1) * 4 * w], bcat,
+                        preferred_element_type=f32)      # (CHP, CWP)
+            inter = jnp.sum(jnp.where(valid & (y > offset), 1.0, 0.0),
+                            dtype=f32)
+            union = jnp.sum(jnp.where(valid & (y > -offset), 1.0, 0.0),
+                            dtype=f32)
+            row = jnp.where(lane == 0, inter, 0.0)
+            row = jnp.where(lane == 1, union, row)
+            out_ref[g] = row.astype(f32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('h', 'w', 'offset', 'interpret',
+                                    'group'))
+def stability_counts_blocked_v2(blk, m_h, m_w, h: int, w: int,
+                                offset: float = 1.0, active=None,
+                                interpret: bool | None = None,
+                                group: int = 8):
+    """Same contract as stability_counts_blocked; restructured GEMMs
+    (see _kernel_blocked_v2). Counts agree with the twin to compute-dtype
+    rounding of the resized logits (the row-resize accumulates the four
+    subpixel-row planes inside one f32 GEMM chain instead of four
+    separate f32 adds — same math, different summation order)."""
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    m = blk.shape[0]
+    assert blk.shape[1] == 16 * h and blk.shape[2] == w, blk.shape
+    ch = m_h.shape[0]
+    cw = m_w.shape[0]
+    if active is None:
+        active = jnp.ones((m,), jnp.int32)
+    active = active.astype(jnp.int32)
+    group = max(1, min(group, m))
+    mp = -(-m // group) * group
+    if mp != m:
+        blk = jnp.pad(blk, ((0, mp - m), (0, 0), (0, 0)))
+        active = jnp.pad(active, (0, mp - m))
+    a, b = blocked_resize_factors(m_h.astype(jnp.float32),
+                                  m_w.astype(jnp.float32))
+    chp = -(-ch // 8) * 8
+    cwp = -(-cw // 128) * 128
+    a = jnp.pad(a, ((0, 0), (0, chp - ch), (0, 0)))
+    # bcat (4w, CWP) = vstack_t B_t^T, the block-row form of
+    # Y = sum_t R_t B_t^T
+    bcat = jnp.pad(jnp.concatenate([b[t].T for t in range(4)], axis=0),
+                   ((0, 0), (0, cwp - cw)))
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_blocked_v2, group=group, h=h, w=w,
+                          ch=ch, cw=cw, offset=float(offset)),
+        out_shape=jax.ShapeDtypeStruct((mp, 1, 128), jnp.float32),
+        grid=(mp // group,),
+        in_specs=[pl.BlockSpec((group, 1, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((group, 16 * h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  const((4, chp, h)), const((4 * w, cwp))],
+        out_specs=pl.BlockSpec((group, 1, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(jnp.broadcast_to(active[:, None, None], (mp, 1, 128)),
+      blk, a, bcat)
+    return out[:m, 0, 0], out[:m, 0, 1]
+
+
+def block_masks(x, h: int, w: int):
+    """(M, 4h, 4w) interleaved logits -> (M, 16h, w) blocked candidate
+    layout (inverse of unblock_masks; twin/bench helper)."""
+    m = x.shape[0]
+    y = x.reshape(m, h, 2, 2, w, 2, 2)         # (m, h, dy, gy, w, dx, gx)
+    y = y.transpose(0, 2, 5, 3, 6, 1, 4)       # (m, dy, dx, gy, gx, h, w)
+    return y.reshape(m, 16 * h, w)
 
 
 def unblock_masks(blk, h: int, w: int):

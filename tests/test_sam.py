@@ -417,6 +417,43 @@ def test_region_generator_budget_exceeds_grid(tiny_sam):
     np.testing.assert_array_equal(outs[0], out)
 
 
+def test_budget_skip_matches_vmap_path(tiny_sam):
+    """The budget-skip batched decode (lax.cond chunk skip + scan-folded
+    selection) must produce region maps bit-identical to the branch-free
+    vmap path (REGDA_NO_BUDGET_SKIP=1), in both regimes: budget fills
+    early (permissive thresholds -> later chunks actually skip) and
+    budget never fills (impossible thresholds -> every chunk live,
+    nothing selected)."""
+    import os
+    from regda_tpu.models.sam.auto import SamRegionGenerator
+    model, variables = tiny_sam
+    rng = np.random.RandomState(21)
+    tiles = [rng.randint(0, 255, (64, 64, 3), np.uint8) for _ in range(2)]
+    for thr_iou, thr_st in ((-1e9, 0.0), (2.0, 1.1)):
+        gen = SamRegionGenerator(model, variables, points_per_side=4,
+                                 points_per_batch=8,
+                                 pred_iou_thresh=thr_iou,
+                                 stability_score_thresh=thr_st,
+                                 crop_n_layers=1,
+                                 crop_n_points_downscale_factor=2,
+                                 mask_budget=16)
+        skip_on = gen.generate_regions_batch(tiles, area_threshold=4)
+        os.environ['REGDA_NO_BUDGET_SKIP'] = '1'
+        try:
+            gen2 = SamRegionGenerator(model, variables, points_per_side=4,
+                                      points_per_batch=8,
+                                      pred_iou_thresh=thr_iou,
+                                      stability_score_thresh=thr_st,
+                                      crop_n_layers=1,
+                                      crop_n_points_downscale_factor=2,
+                                      mask_budget=16)
+            skip_off = gen2.generate_regions_batch(tiles, area_threshold=4)
+        finally:
+            del os.environ['REGDA_NO_BUDGET_SKIP']
+        for a, b in zip(skip_on, skip_off):
+            np.testing.assert_array_equal(a, b)
+
+
 def test_subpixel_convt_equals_conv_transpose():
     """SubpixelConvT must be numerically identical to ConvTranspose
     (2, 2)/s2 with the same kernel/bias params."""
@@ -1173,6 +1210,51 @@ def test_stability_counts_blocked_matches_xla_twin():
                                np.asarray(i_w)[keep], atol=1)
     np.testing.assert_allclose(np.asarray(u_a)[keep],
                                np.asarray(u_w)[keep], atol=1)
+
+
+def test_stability_counts_blocked_v2_and_dense_match_twin():
+    """The restructured blocked v2 kernel (column-concat GEMMs, dense
+    group) and the dense=True variants of v1 match the einsum twin."""
+    from regda_tpu.models.sam.pallas_stability import (
+        stability_counts_blocked, stability_counts_blocked_v2,
+        stability_counts_fused, stability_counts_xla, unblock_masks,
+        block_masks)
+    from regda_tpu.ops.resize import _interp_matrix_half_pixel
+    rng = np.random.RandomState(5)
+    m, h, ch, cw = 7, 8, 51, 77
+    s = 4 * h
+    m_h = jnp.asarray(_interp_matrix_half_pixel(s, ch), jnp.float32)
+    m_w = jnp.asarray(_interp_matrix_half_pixel(s, cw), jnp.float32)
+    blk = jnp.asarray(rng.randn(m, 16 * h, h).astype(np.float32)) * 2.0
+    il = unblock_masks(blk, h, h)
+    np.testing.assert_array_equal(np.asarray(block_masks(il, h, h)),
+                                  np.asarray(blk))
+    m_wt = jnp.asarray(np.asarray(m_w).T)
+    i_w, u_w = stability_counts_xla(il, m_h, m_wt, offset=1.0)
+    for grp in (2, 4, 8):
+        i_v, u_v = stability_counts_blocked_v2(blk, m_h, m_w, h, h,
+                                               offset=1.0, group=grp)
+        np.testing.assert_allclose(np.asarray(i_v), np.asarray(i_w),
+                                   atol=1)
+        np.testing.assert_allclose(np.asarray(u_v), np.asarray(u_w),
+                                   atol=1)
+    # active gating: inactive slots still return REAL counts in v2's
+    # dense groups (within the garbage-tolerant contract)
+    act = jnp.asarray((np.arange(m) % 2).astype(np.int32))
+    i_a, u_a = stability_counts_blocked_v2(blk, m_h, m_w, h, h,
+                                           offset=1.0, active=act, group=4)
+    keep = np.asarray(act, bool)
+    np.testing.assert_allclose(np.asarray(i_a)[keep],
+                               np.asarray(i_w)[keep], atol=1)
+    # dense=True twins of the v1 kernels
+    i_d, u_d = stability_counts_blocked(blk, m_h, m_w, h, h, offset=1.0,
+                                        group=4, dense=True)
+    np.testing.assert_allclose(np.asarray(i_d), np.asarray(i_w), atol=1)
+    np.testing.assert_allclose(np.asarray(u_d), np.asarray(u_w), atol=1)
+    i_f, u_f = stability_counts_fused(il, m_h, m_wt, offset=1.0,
+                                      group=4, dense=True)
+    np.testing.assert_allclose(np.asarray(i_f), np.asarray(i_w), atol=1)
+    np.testing.assert_allclose(np.asarray(u_f), np.asarray(u_w), atol=1)
 
 
 def test_blocked_mask_layout_roundtrip():

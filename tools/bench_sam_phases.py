@@ -49,6 +49,10 @@ def main():
     ap.add_argument('--encode-layers', action='store_true',
                     help='time encoder sub-layers (patch embed, windowed/'
                          'global blocks, neck) instead of the phase suite')
+    ap.add_argument('--stability', action='store_true',
+                    help='sweep the exact-stability kernels (interleaved + '
+                         'blocked x group sizes x crop frames) instead of '
+                         'the phase suite')
     args = ap.parse_args()
 
     import jax
@@ -156,6 +160,76 @@ def main():
         g_l = results['enc_global_block_ms']
         print(f'sum(8 windowed + 4 global + patch + neck): '
               f'{8*w_l + 4*g_l + results["enc_patch_embed_ms"] + results["enc_neck_ms"]:.2f} ms/crop')
+        print(json.dumps(results))
+        return
+
+    # ---------------- exact-stability kernel sweep -------------------------
+    if args.stability:
+        from regda_tpu.models.sam.pallas_stability import (
+            stability_counts_fused, stability_counts_blocked,
+            stability_counts_blocked_v2, block_masks)
+        from regda_tpu.ops.resize import _interp_matrix_half_pixel
+        mcand = args.prompts * 3
+        s_low = 256
+        h = s_low // 4
+        # crop frames of the reference crop_n_layers=1 configuration on a
+        # 512 tile: crop0 (nh=nw=1024 -> 512x512) and the 4 sub-crops
+        # (307x307 resized to the 1024 frame -> back to 307)
+        frames = {}
+        for label, (nhw, chw) in (('crop0', (1024, 512)),
+                                  ('subcrop', (1024, 307))):
+            u = _interp_matrix_half_pixel(s_low, 1024)[:nhw]
+            m = (_interp_matrix_half_pixel(nhw, chw) @ u).astype(np.float32)
+            frames[label] = m
+        il = jax.random.normal(ks[30], (mcand, s_low, s_low), dt) * 4
+        # blocked-layout twin of the same logits
+        blk = jax.jit(block_masks, static_argnums=(1, 2))(il, h, h)
+        for label, m in frames.items():
+            m_h = jnp.asarray(m)
+            m_wt = jnp.asarray(m.T)
+            for g in (8, 16):
+                for dense in (False, True):
+                    @jax.jit
+                    def fn(x, s, g=g, dense=dense, m_h=m_h, m_wt=m_wt):
+                        i, un = stability_counts_fused(
+                            x + s.astype(x.dtype), m_h, m_wt, group=g,
+                            dense=dense)
+                        return i, jnp.float32(jnp.sum(i[:2])
+                                              + jnp.sum(un[:2]))
+
+                    per = chain_time(fn, il, args.iters)
+                    tag = f'stab_interleaved_{label}_g{g}_d{int(dense)}'
+                    results[tag + '_ms'] = per * 1000
+                    print(f'interleaved {label} group={g} dense={dense}: '
+                          f'{per*1000:.2f} ms / {mcand}-cand chunk')
+            mb = jnp.asarray(m)
+            for g in (4, 8):
+                for dense in (False, True):
+                    @jax.jit
+                    def fnb(x, s, g=g, dense=dense, mb=mb):
+                        i, un = stability_counts_blocked(
+                            x + s.astype(x.dtype), mb, mb, h, h, group=g,
+                            dense=dense)
+                        return i, jnp.float32(jnp.sum(i[:2])
+                                              + jnp.sum(un[:2]))
+
+                    per = chain_time(fnb, blk, args.iters)
+                    tag = f'stab_blocked_{label}_g{g}_d{int(dense)}'
+                    results[tag + '_ms'] = per * 1000
+                    print(f'blocked {label} group={g} dense={dense}: '
+                          f'{per*1000:.2f} ms / {mcand}-cand chunk')
+            for g in (4, 8, 16):
+                @jax.jit
+                def fnv2(x, s, g=g, mb=mb):
+                    i, un = stability_counts_blocked_v2(
+                        x + s.astype(x.dtype), mb, mb, h, h, group=g)
+                    return i, jnp.float32(jnp.sum(i[:2])
+                                          + jnp.sum(un[:2]))
+
+                per = chain_time(fnv2, blk, args.iters)
+                results[f'stab_blocked_v2_{label}_g{g}_ms'] = per * 1000
+                print(f'blocked v2 {label} group={g}: {per*1000:.2f} ms '
+                      f'/ {mcand}-cand chunk')
         print(json.dumps(results))
         return
 

@@ -245,6 +245,18 @@ def main():
           np.asarray(i_w2)[keep], 1e-2, 8)
     check('stability blocked gated union', np.asarray(u_ab)[keep],
           np.asarray(u_w2)[keep], 1e-2, 8)
+    from regda_tpu.models.sam.pallas_stability import (
+        stability_counts_blocked_v2)
+    i_v2, u_v2 = stability_counts_blocked_v2(
+        blk.astype(dt), mh_, mwb, hb, hb, offset=1.0,
+        interpret=not on_tpu)
+    check('stability blocked v2 inter', i_v2, i_w2, 1e-2, 8)
+    check('stability blocked v2 union', u_v2, u_w2, 1e-2, 8)
+    i_dn, u_dn = stability_counts_blocked(blk.astype(dt), mh_, mwb, hb, hb,
+                                          offset=1.0, dense=True,
+                                          interpret=not on_tpu)
+    check('stability blocked dense inter', i_dn, i_w2, 1e-2, 8)
+    check('stability blocked dense union', u_dn, u_w2, 1e-2, 8)
 
     # ---- 6. prompt-resident fused two-way transformer ------------------
     from regda_tpu.models.sam.pallas_twoway import (NP, two_way_fused,
