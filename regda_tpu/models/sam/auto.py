@@ -9,9 +9,10 @@ TPU-first pipeline per crop:
   1. one jit'd ViT encoder pass on the 1024-resized crop;
   2. the 32x32 point grid decoded in jit'd batches (points stacked along the
      prompt dimension -> batched two-way transformer, MXU-dense);
-  3. per-mask scalars (predicted IoU, stability score on the low-res logits,
-     area) computed on device; only scalars stream back to the host for
-     filtering;
+  3. per-mask scalars (predicted IoU, stability score — by DEFAULT exact
+     upstream parity, counted on the logits upscaled to crop resolution via
+     composed resize matrices, fused as a Pallas kernel; area) computed on
+     device; only scalars stream back to the host for filtering;
   4. surviving low-res logits are upscaled/thresholded in a second jit'd op
      (padded to a static mask budget) and transferred once;
   5. greedy box-NMS + region-id packing on host numpy (cheap, tiny data).
@@ -95,35 +96,25 @@ class Sam(nn.Module):
         return masks, iou
 
     def decode_points_fast(self, image_embedding, points, labels,
-                           factored: bool = False,
                            fused_upscale: bool = True,
                            mask_dtype=None, iou_gate_thresh=None,
                            blocked_masks: bool = False):
         """decode_points through the pure-function fast decoder (same
-        parameters, same math — see factored_decoder.py): optionally the
-        low-rank factored key state, and the Pallas fused
-        upscale+hypernetwork mask head (pallas_upscale.py).
-        iou_gate_thresh: mono-path in-kernel IoU gate (everything-mode
-        exact; failing prompts return zero masks)."""
-        from regda_tpu.models.sam.factored_decoder import mask_decoder_fast
+        parameters, same math — see fast_decoder.py): the prompt-resident
+        two-way kernel + the Pallas fused upscale+hypernetwork mask head
+        (pallas_upscale.py). iou_gate_thresh: everything-mode IoU gate
+        (failing prompts skip the mask head and return zero masks)."""
+        from regda_tpu.models.sam.fast_decoder import mask_decoder_fast
         sparse, dense = self.prompt_encoder(points, labels)
         image_pe = self.prompt_encoder.get_dense_pe()
         params = self.mask_decoder.variables['params']
         return mask_decoder_fast(params, image_embedding, image_pe,
                                  sparse, dense[:1], multimask_output=True,
-                                 dtype=self.dtype, factored=factored,
+                                 dtype=self.dtype,
                                  fused_upscale=fused_upscale,
                                  mask_dtype=mask_dtype,
                                  iou_gate_thresh=iou_gate_thresh,
                                  blocked_masks=blocked_masks)
-
-    def decode_points_factored(self, image_embedding, points, labels):
-        """decode_points through the low-rank factored decoder (same
-        parameters, same math reassociated — see factored_decoder.py).
-        Keeps the per-prompt key state as shared + thin factors instead of
-        materializing (P, 4096, 256) tensors between every decoder op."""
-        return self.decode_points_fast(image_embedding, points, labels,
-                                       factored=True, fused_upscale=False)
 
     def __call__(self, image, points, labels):
         emb = self.encode(image)
@@ -196,7 +187,6 @@ class SamAutomaticMaskGenerator:
                  crop_n_points_downscale_factor: int = 1,
                  mask_budget: int = 256,
                  compute_dtype=jnp.bfloat16,
-                 factored_decoder: Optional[bool] = None,
                  stability_on_upscaled: Optional[bool] = None,
                  mesh=None):
         """mesh: optional jax.sharding.Mesh with a 'data' axis. When given,
@@ -211,13 +201,6 @@ class SamAutomaticMaskGenerator:
             from jax.sharding import NamedSharding, PartitionSpec as P
             variables = jax.device_put(variables,
                                        NamedSharding(mesh, P()))
-        if factored_decoder is None:
-            # the factored decoder (factored_decoder.py) cuts decode HBM
-            # traffic ~3x but its thin-rank matmuls tile worse on the MXU;
-            # at points_per_batch=128 the stock decode measured faster,
-            # so it is opt-in
-            factored_decoder = bool(_os.environ.get('REGDA_FACTORED_SAM'))
-        self.factored_decoder = factored_decoder
         # Pallas fused upscale+hypernetwork mask head (pallas_upscale.py);
         # same escape hatch as the LRH kernel
         self.fused_upscale = not _os.environ.get('REGDA_NO_PALLAS')
@@ -291,12 +274,10 @@ class SamAutomaticMaskGenerator:
         major BLOCKED layout (B, M*16, HW) through stability + budget
         selection; only the selected masks are interleaved. Removes the
         per-candidate depth-to-space HBM relayout (~84 ms/tile at
-        crop_n_layers=1 on v5e — see PERF.md). The mono decode kernel
-        emits the same layout straight from VMEM. Off for the factored
-        decoder and under REGDA_NO_BLOCKED_MASKS (A/B escape hatch)."""
-        import os as _os
-        return (self.fused_upscale and not self.factored_decoder
-                and not _os.environ.get('REGDA_NO_BLOCKED_MASKS'))
+        crop_n_layers=1 on v5e — see PERF.md). Follows the Pallas master
+        switch: the blocked layout is the fused upscale kernel's output
+        contract."""
+        return self.fused_upscale
 
     def _decode_fn(self, key_hw=None):
         import os as _os
@@ -304,9 +285,9 @@ class SamAutomaticMaskGenerator:
         # per-prompt IoU gate (DEFAULT ON; REGDA_SAM_NO_IOU_GATE=1 turns it
         # off): candidates the downstream filter is about to drop by
         # pred_iou_thresh skip their mask-head GEMMs, exact-stability
-        # resizes, and stats inside whichever decode kernel is active
-        # (mono: in-kernel iou head; two-step: exact XLA iou fed to the
-        # upscale kernel's active flags). Output-identical by
+        # resizes, and stats: the exact XLA iou head (hoisted ahead of the
+        # mask head) feeds the upscale kernel's per-prompt active flags
+        # and the stability kernel's candidate flags. Output-identical by
         # construction — upstream everything-mode drops those candidates
         # at the pred_iou filter BEFORE stability/NMS
         # (segment_anything _process_batch as driven at
@@ -331,7 +312,6 @@ class SamAutomaticMaskGenerator:
         if key not in self._jits:
             off = self.stability_score_offset
             dt = self.compute_dtype
-            factored = self.factored_decoder
             fused = self.fused_upscale
 
             def dec(variables, embedding, points):
@@ -348,7 +328,7 @@ class SamAutomaticMaskGenerator:
                 # matmul (downstream thresholds only compare against 0,
                 # insensitive to bf16 rounding)
                 masks, iou = self.model.apply(
-                    variables, embedding, pts, lbs, factored, fused, dt,
+                    variables, embedding, pts, lbs, fused, dt,
                     iou_gate_thresh=gate, blocked_masks=blocked,
                     method=self.model.decode_points_fast)
                 # (P, 3, 256, 256) [or (P, 48, HW) blocked], (P, 3)
@@ -373,11 +353,15 @@ class SamAutomaticMaskGenerator:
                         h = s // 4
                         flat = masks.reshape(p * m3, 16 * h, h)
                         if stabk_blocked:
+                            # v2 (column-concat row resize, group=8) is
+                            # the measured-fastest blocked variant on
+                            # v5e: 3.35 vs 4.2 ms (v1 g4) per 384-cand
+                            # chunk (round-4 sweep, PERF.md)
                             from regda_tpu.models.sam.pallas_stability \
-                                import stability_counts_blocked
-                            inter, union = stability_counts_blocked(
+                                import stability_counts_blocked_v2
+                            inter, union = stability_counts_blocked_v2(
                                 flat, m_h, m_w, h, h, offset=off,
-                                active=act)
+                                active=act, group=8)
                         else:
                             from regda_tpu.models.sam.pallas_stability \
                                 import stability_counts_xla, unblock_masks

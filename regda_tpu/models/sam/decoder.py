@@ -143,7 +143,7 @@ def flatten_convt_kernel(kernel, dtype):
     with block order (dy, dx, f). lax.conv_transpose applies the kernel
     spatially FLIPPED, hence the [::-1, ::-1]. Single home for the
     convention shared by SubpixelConvT / UpscaleLinear /
-    factored_decoder._upscale_linear_flat / pallas_upscale."""
+    fast_decoder._upscale_linear_flat / pallas_upscale."""
     c_in = kernel.shape[2]
     return (kernel[::-1, ::-1].astype(dtype).transpose(2, 0, 1, 3)
             .reshape(c_in, -1))

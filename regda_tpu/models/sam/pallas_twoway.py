@@ -29,7 +29,7 @@ image-to-token token projections, final attention) runs INSIDE the
 kernel; the purely token-local layer-0 path and layer-1 self-attention
 run outside in XLA (7-token work, negligible).
 
-Same math as factored_decoder.two_way_transformer_dense; the backward
+Same math as fast_decoder.two_way_transformer_dense; the backward
 pass is the VJP of a stock XLA twin (_twoway_stock), like every other
 kernel in this package.
 
@@ -59,8 +59,7 @@ def _ln(x, w, b, eps=EPS):
     return y * w.astype(jnp.float32) + b.astype(jnp.float32)
 
 
-# weight-ref order shared by this kernel and the monolithic decode kernel
-# (pallas_monodecode.py), which reuses _twoway_body with the same layout
+# weight-ref order for _twoway_body / two_way_fused operands
 WKEYS = ('wo0', 'bo0', 'n40w', 'n40b',
          'wqt', 'bqt', 'wkt', 'bkt', 'wvt', 'bvt', 'wot', 'bot',
          'n2w', 'n2b',
@@ -79,11 +78,9 @@ def _twoway_body(ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
                  row: int = 0):
     """Two-way transformer core on VMEM refs; returns (keys2 dt, qfin f32).
 
-    wrefs: weight refs in WKEYS order. Shared by _kernel (this file) and
-    the fused two-way+mask-head kernel in pallas_monodecode.py. row: which
-    prompt of the block to process (pallas_monodecode packs several
-    prompts per program so their independent chains interleave on the
-    MXU/VPU)."""
+    wrefs: weight refs in WKEYS order. row: which prompt of the block
+    to process (callers may pack several prompts per program so their
+    independent chains interleave on the MXU/VPU)."""
     w = dict(zip(WKEYS, wrefs))
     (wo0_ref, bo0_ref, n40w_ref, n40b_ref,
      wqt_ref, bqt_ref, wkt_ref, bkt_ref, wvt_ref, bvt_ref,

@@ -502,48 +502,6 @@ def test_decoder_shared_dense_batch_equivalent(tiny_sam):
                                rtol=1e-4, atol=1e-4)
 
 
-def test_factored_decoder_equals_stock():
-    """mask_decoder_factored is an exact algebraic reformulation of
-    MaskDecoder: same param tree, same outputs (to f32 rounding)."""
-    from regda_tpu.models.sam.decoder import MaskDecoder
-    from regda_tpu.models.sam.factored_decoder import mask_decoder_factored
-    dec = MaskDecoder(dtype=jnp.float32)
-    emb = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 256))
-    pe = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 256))
-    sparse = jax.random.normal(jax.random.PRNGKey(3), (5, 2, 256))
-    dense = jax.random.normal(jax.random.PRNGKey(4), (1, 8, 8, 256))
-    variables = dec.init(jax.random.PRNGKey(0), emb, pe, sparse, dense)
-    m0, i0 = dec.apply(variables, emb, pe, sparse, dense)
-    m1, i1 = mask_decoder_factored(variables['params'], emb, pe, sparse,
-                                   dense, dtype=jnp.float32)
-    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
-                               rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(i1), np.asarray(i0),
-                               rtol=1e-4, atol=1e-4)
-
-
-def test_decode_points_factored_matches_method():
-    """Sam.decode_points_factored == Sam.decode_points on an f32 model."""
-    model = Sam(vit_config='vit_t', img_size=128, dtype=jnp.float32)
-    variables = model.init(
-        {'params': jax.random.PRNGKey(0)},
-        jnp.zeros((1, 128, 128, 3)),
-        jnp.zeros((1, 1, 2)), jnp.ones((1, 1), jnp.int32))
-    emb = model.apply(variables, jnp.zeros((1, 128, 128, 3)),
-                      method=model.encode)
-    pts = jnp.asarray(np.random.RandomState(0).rand(4, 1, 2) * 128,
-                      jnp.float32)
-    lbs = jnp.ones((4, 1), jnp.int32)
-    m0, i0 = model.apply(variables, emb, pts, lbs,
-                         method=model.decode_points)
-    m1, i1 = model.apply(variables, emb, pts, lbs,
-                         method=model.decode_points_factored)
-    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
-                               rtol=1e-3, atol=1e-3)
-    np.testing.assert_allclose(np.asarray(i1), np.asarray(i0),
-                               rtol=1e-3, atol=1e-3)
-
-
 def test_upscale_linear_matches_conv_transpose():
     """UpscaleLinear + manual depth-to-space == nn.ConvTranspose(2,2)/s2
     on the identical param tree."""
@@ -562,14 +520,13 @@ def test_upscale_linear_matches_conv_transpose():
                                rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize('factored,fused', [(False, False), (False, True),
-                                            (True, True)])
-def test_mask_decoder_fast_variants_equal_stock(factored, fused):
-    """Every mask_decoder_fast configuration (dense/factored transformer x
-    GEMM/Pallas-fused upscale) equals the stock flax decoder in f32 (the
-    Pallas kernel runs in interpreter mode off-TPU)."""
+@pytest.mark.parametrize('fused', [False, True])
+def test_mask_decoder_fast_variants_equal_stock(fused):
+    """mask_decoder_fast (GEMM and Pallas-fused upscale) equals the
+    stock flax decoder in f32 (the Pallas kernel runs in interpreter
+    mode off-TPU)."""
     from regda_tpu.models.sam.decoder import MaskDecoder
-    from regda_tpu.models.sam.factored_decoder import mask_decoder_fast
+    from regda_tpu.models.sam.fast_decoder import mask_decoder_fast
     dec = MaskDecoder(dtype=jnp.float32)
     emb = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 256))
     pe = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 256))
@@ -578,8 +535,7 @@ def test_mask_decoder_fast_variants_equal_stock(factored, fused):
     variables = dec.init(jax.random.PRNGKey(0), emb, pe, sparse, dense)
     m0, i0 = dec.apply(variables, emb, pe, sparse, dense)
     m1, i1 = mask_decoder_fast(variables['params'], emb, pe, sparse, dense,
-                               dtype=jnp.float32, factored=factored,
-                               fused_upscale=fused)
+                               dtype=jnp.float32, fused_upscale=fused)
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(i1), np.asarray(i0),
@@ -668,28 +624,6 @@ def test_pallas_layernorm_nondivisible_rows():
                                    rtol=2e-5, atol=2e-5)
 
 
-def test_two_way_transformer_dense_fused_equals_stock():
-    """The REGDA_FUSED_KEYS ln_project path == the stock dense transformer
-    (pallas_keys kernel runs in interpret mode off-TPU)."""
-    from regda_tpu.models.sam.decoder import MaskDecoder
-    from regda_tpu.models.sam.factored_decoder import (
-        two_way_transformer_dense, two_way_transformer_dense_fused)
-    dec = MaskDecoder(dtype=jnp.float32)
-    emb = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 256))
-    pe = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 256))
-    sparse = jax.random.normal(jax.random.PRNGKey(3), (5, 2, 256))
-    dense = jax.random.normal(jax.random.PRNGKey(4), (1, 8, 8, 256))
-    variables = dec.init(jax.random.PRNGKey(0), emb, pe, sparse, dense)
-    params = variables['params']['transformer']
-    tokens = jax.random.normal(jax.random.PRNGKey(5), (5, 7, 256))
-    q0, k0 = two_way_transformer_dense(params, emb, pe, tokens)
-    q1, k1 = two_way_transformer_dense_fused(params, emb, pe, tokens)
-    np.testing.assert_allclose(np.asarray(q1), np.asarray(q0),
-                               rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(k1), np.asarray(k0),
-                               rtol=1e-4, atol=1e-4)
-
-
 def test_sam_kernels_differentiable():
     """All three SAM Pallas kernels have custom VJPs: gradients through
     the fused forward == gradients of the stock XLA twin."""
@@ -709,16 +643,15 @@ def test_sam_kernels_differentiable():
 
     from regda_tpu.models.sam.pallas_attention import (
         attention_with_rel_bias, _attn_stock)
-    q = jnp.asarray(rng.randn(2, 16, 32).astype(np.float32))
-    k = jnp.asarray(rng.randn(2, 16, 32).astype(np.float32))
-    v = jnp.asarray(rng.randn(2, 16, 32).astype(np.float32))
-    rh = jnp.asarray(rng.randn(2, 16, 4).astype(np.float32))
-    rw = jnp.asarray(rng.randn(2, 16, 4).astype(np.float32))
+    # kernel layouts: qkv (3, B, H, N, D), rel biases (B, H, N, K)
+    qkv = jnp.asarray(rng.randn(3, 2, 2, 16, 32).astype(np.float32))
+    rh = jnp.asarray(rng.randn(2, 2, 16, 4).astype(np.float32))
+    rw = jnp.asarray(rng.randn(2, 2, 16, 4).astype(np.float32))
     fn = lambda *a: jnp.sum(attention_with_rel_bias(
         *a, scale=0.25, kh=4, kw=4) ** 2)
     fs = lambda *a: jnp.sum(_attn_stock(*a, 0.25, 4, 4) ** 2)
-    g1 = jax.grad(fn, argnums=(0, 1, 2, 3, 4))(q, k, v, rh, rw)
-    g2 = jax.grad(fs, argnums=(0, 1, 2, 3, 4))(q, k, v, rh, rw)
+    g1 = jax.grad(fn, argnums=(0, 1, 2))(qkv, rh, rw)
+    g2 = jax.grad(fs, argnums=(0, 1, 2))(qkv, rh, rw)
     for a, c in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=1e-3, atol=1e-3)
@@ -747,7 +680,7 @@ def test_two_way_transformer_fused2_equals_stock():
     """The prompt-resident fused two-way kernel path (pallas_twoway.py,
     interpret mode off-TPU) == the stock dense transformer."""
     from regda_tpu.models.sam.decoder import MaskDecoder
-    from regda_tpu.models.sam.factored_decoder import (
+    from regda_tpu.models.sam.fast_decoder import (
         two_way_transformer_dense, two_way_transformer_fused2)
     dec = MaskDecoder(dtype=jnp.float32)
     emb = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 256))
@@ -816,48 +749,6 @@ def test_two_way_fused_kernel_differentiable():
                                    rtol=2e-3, atol=2e-3)
 
 
-def test_ln_project_differentiable():
-    """pallas_keys.ln_project (the REGDA_FUSED_KEYS kernel) has a custom
-    VJP: gradients through the fused forward == gradients of the stock XLA
-    twin, including the shared/prev addends and mixed add_pe projections."""
-    from regda_tpu.models.sam.pallas_keys import (
-        ln_project, _ln_project_stock)
-    rng = np.random.RandomState(3)
-    b, t, dp, c = 2, 64, 32, 48
-    delta = jnp.asarray(rng.randn(b, t, dp).astype(np.float32))
-    wout = jnp.asarray(rng.randn(dp, c).astype(np.float32))
-    bout = jnp.asarray(rng.randn(c).astype(np.float32))
-    lnw = jnp.asarray(rng.randn(c).astype(np.float32))
-    lnb = jnp.asarray(rng.randn(c).astype(np.float32))
-    pe = jnp.asarray(rng.randn(t, c).astype(np.float32))
-    projs = tuple(
-        (jnp.asarray(rng.randn(c, 16).astype(np.float32)),
-         jnp.asarray(rng.randn(16).astype(np.float32))) for _ in range(2))
-    shared = jnp.asarray(rng.randn(t, c).astype(np.float32))
-    prev = jnp.asarray(rng.randn(b, t, c).astype(np.float32))
-    add_pe = (True, False)
-
-    def loss_fused(d, wo, bo, lw, lb, pj, sh, pv):
-        keys, outs = ln_project(d, wo, bo, lw, lb, pe, pj,
-                                shared=sh, prev=pv, add_pe=add_pe)
-        return jnp.sum(keys ** 2) + sum(jnp.sum(o ** 2) for o in outs)
-
-    def loss_stock(d, wo, bo, lw, lb, pj, sh, pv):
-        keys, outs = _ln_project_stock(
-            (d, wo, bo, lw, lb, pe, pj, sh, pv), add_pe, 1e-5)
-        return jnp.sum(keys ** 2) + sum(jnp.sum(o ** 2) for o in outs)
-
-    args = (delta, wout, bout, lnw, lnb, projs, shared, prev)
-    # forward parity too
-    np.testing.assert_allclose(np.asarray(loss_fused(*args)),
-                               np.asarray(loss_stock(*args)), rtol=1e-5)
-    g1 = jax.grad(loss_fused, argnums=tuple(range(8)))(*args)
-    g2 = jax.grad(loss_stock, argnums=tuple(range(8)))(*args)
-    for a, ref in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(ref),
-                                   rtol=1e-3, atol=1e-3)
-
-
 def test_persistent_windowed_layout_equals_per_block():
     """Two consecutive windowed Blocks in PERSISTENT layout (partition
     once, stay windowed, unpartition once — vit.py Block windowed_in/out)
@@ -918,91 +809,6 @@ def test_encoder_persistent_layout_sequencing():
                                rtol=2e-5, atol=2e-5)
 
 
-def test_mask_decoder_mono_equals_two_step(monkeypatch):
-    """The monolithic decode kernel (pallas_monodecode.py: two-way +
-    hypernetwork + mask head in one program per prompt) == the two-step
-    fused path AND the composed stock twin, values and gradients."""
-    from regda_tpu.models.sam.decoder import MaskDecoder
-    from regda_tpu.models.sam.factored_decoder import mask_decoder_fast
-
-    dec = MaskDecoder(dtype=jnp.float32)
-    emb = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 256)) * 0.5
-    pe = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 256)) * 0.5
-    sparse = jax.random.normal(jax.random.PRNGKey(3), (5, 2, 256)) * 0.5
-    dense = jax.random.normal(jax.random.PRNGKey(4), (1, 8, 8, 256)) * 0.5
-    variables = dec.init(jax.random.PRNGKey(0), emb, pe, sparse, dense)
-    params = variables['params']
-
-    monkeypatch.delenv('REGDA_MONO_DECODE', raising=False)
-    m0, i0 = mask_decoder_fast(params, emb, pe[0], sparse, dense,
-                               fused_upscale=True, factored=False)
-    monkeypatch.setenv('REGDA_MONO_DECODE', '1')
-    m1, i1 = mask_decoder_fast(params, emb, pe[0], sparse, dense,
-                               fused_upscale=True, factored=False)
-    assert m1.shape == m0.shape and i1.shape == i0.shape
-    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
-                               rtol=2e-4, atol=2e-4)
-    np.testing.assert_allclose(np.asarray(i1), np.asarray(i0),
-                               rtol=2e-4, atol=2e-4)
-
-    # kernel forward == composed stock twin, and gradients flow through
-    # the custom VJP identically
-    from regda_tpu.models.sam.factored_decoder import mask_decoder_mono
-    from regda_tpu.models.sam.pallas_monodecode import _mono_stock
-
-    def loss_mono(emb_in):
-        q, m, _ = mask_decoder_mono(params, emb_in + dense[:1], pe,
-                                 jnp.concatenate(
-                                     [jnp.broadcast_to(
-                                         jnp.concatenate(
-                                             [params['iou_token'],
-                                              params['mask_tokens']], 0
-                                         )[None], (5, 5, 256)), sparse], 1))
-        return jnp.sum(m ** 2) + jnp.sum(q ** 2)
-
-    g = jax.grad(loss_mono)(emb)
-    assert np.isfinite(np.asarray(g)).all()
-    assert float(jnp.abs(g).sum()) > 0.0
-
-
-def test_mask_decoder_mono_blocked_matches_two_step_blocked(monkeypatch):
-    """The mono kernel's candidate-major BLOCKED output (emitted straight
-    from VMEM via the pre-transposed hypernetwork GEMM) == the two-step
-    blocked path, both gated and ungated."""
-    from regda_tpu.models.sam.decoder import MaskDecoder
-    from regda_tpu.models.sam.factored_decoder import mask_decoder_fast
-
-    dec = MaskDecoder(dtype=jnp.float32)
-    emb = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 256)) * 0.5
-    pe = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 256)) * 0.5
-    sparse = jax.random.normal(jax.random.PRNGKey(3), (6, 2, 256)) * 0.5
-    dense = jax.random.normal(jax.random.PRNGKey(4), (1, 8, 8, 256)) * 0.5
-    variables = dec.init(jax.random.PRNGKey(0), emb, pe, sparse, dense)
-    params = variables['params']
-
-    for gate in (None, 0.0):
-        monkeypatch.delenv('REGDA_MONO_DECODE', raising=False)
-        m0, i0 = mask_decoder_fast(params, emb, pe[0], sparse, dense,
-                                   fused_upscale=True, factored=False,
-                                   iou_gate_thresh=gate,
-                                   blocked_masks=True)
-        monkeypatch.setenv('REGDA_MONO_DECODE', '1')
-        m1, i1 = mask_decoder_fast(params, emb, pe[0], sparse, dense,
-                                   fused_upscale=True, factored=False,
-                                   iou_gate_thresh=gate,
-                                   blocked_masks=True)
-        assert m1.shape == m0.shape == (6, 48, 64)
-        np.testing.assert_allclose(np.asarray(i1), np.asarray(i0),
-                                   rtol=2e-4, atol=2e-4)
-        if gate is not None:
-            # zeroed blocks only where BOTH paths gate the prompt off
-            keep = np.asarray(jnp.any(i0 > gate, axis=1))
-            m0n, m1n = np.asarray(m0)[keep], np.asarray(m1)[keep]
-        else:
-            m0n, m1n = np.asarray(m0), np.asarray(m1)
-        np.testing.assert_allclose(m1n, m0n, rtol=2e-4, atol=2e-4)
-
-
 def test_mask_stats_fused_active_gating():
     """Slots with active=False are skipped (garbage out); active slots
     must be bit-identical to the all-active run."""
@@ -1041,68 +847,12 @@ def test_mask_stats_fused_active_vmapped():
                                       np.asarray(af)[idx])
 
 
-def test_mono_decode_iou_gate(monkeypatch):
-    """The in-kernel IoU gate (pallas_monodecode): the kernel's iou head
-    output is the CANONICAL iou prediction, and prompts whose best iou
-    fails the threshold return ZERO mask blocks (skipping the mask-head
-    GEMMs). Because the gate and the caller's filter decide from the same
-    array, zeroed rows are exactly the rows the filter drops — no margin
-    band. Exactness contract: everything-mode drops iou-failing candidates
-    before masks matter (auto.py _decode_all_fn, upstream
-    SamAutomaticMaskGenerator order)."""
-    from regda_tpu.models.sam.decoder import MaskDecoder
-    from regda_tpu.models.sam.factored_decoder import mask_decoder_fast
-
-    dec = MaskDecoder(dtype=jnp.float32)
-    emb = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 256)) * 0.5
-    pe = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 256)) * 0.5
-    sparse = jax.random.normal(jax.random.PRNGKey(3), (6, 2, 256)) * 0.5
-    dense = jax.random.normal(jax.random.PRNGKey(4), (1, 8, 8, 256)) * 0.5
-    params = dec.init(jax.random.PRNGKey(0), emb, pe, sparse,
-                      dense)['params']
-    monkeypatch.setenv('REGDA_MONO_DECODE', '1')
-
-    m0, i0 = mask_decoder_fast(params, emb, pe[0], sparse, dense,
-                               fused_upscale=True, factored=False)
-    m0, i0 = np.asarray(m0), np.asarray(i0)
-
-    # all-pass and all-fail gates bracket the behavior
-    m_pass, i_pass = mask_decoder_fast(params, emb, pe[0], sparse, dense,
-                                       fused_upscale=True, factored=False,
-                                       iou_gate_thresh=-1e9)
-    np.testing.assert_allclose(np.asarray(m_pass), m0, rtol=2e-4, atol=2e-4)
-    np.testing.assert_allclose(np.asarray(i_pass), i0, rtol=2e-4, atol=2e-4)
-    m_fail, i_fail = mask_decoder_fast(params, emb, pe[0], sparse, dense,
-                                       fused_upscale=True, factored=False,
-                                       iou_gate_thresh=1e9)
-    assert np.abs(np.asarray(m_fail)).max() == 0.0
-    np.testing.assert_allclose(np.asarray(i_fail), i0, rtol=2e-4, atol=2e-4)
-
-    # mid threshold: zeroed rows are EXACTLY the rows the caller's filter
-    # drops (same iou array decides both), every survivor matches the
-    # ungated kernel
-    thr = float(np.median(i0.max(1)))
-    m_mid, i_mid = mask_decoder_fast(params, emb, pe[0], sparse, dense,
-                                     fused_upscale=True, factored=False,
-                                     iou_gate_thresh=thr)
-    m_mid, i_mid = np.asarray(m_mid), np.asarray(i_mid)
-    zeroed = 0
-    for r in range(m_mid.shape[0]):
-        if i_mid[r].max() > thr:
-            np.testing.assert_allclose(m_mid[r], m0[r], rtol=2e-4,
-                                       atol=2e-4)
-        else:
-            assert np.abs(m_mid[r]).max() == 0.0
-            zeroed += 1
-    assert zeroed == int((i_mid.max(1) <= thr).sum()) and zeroed >= 1
-
-
-def test_twostep_upscale_iou_gate(monkeypatch):
+def test_twostep_upscale_iou_gate():
     """The two-step path's IoU gate (upscale kernel `active` flags,
     computed from the EXACT iou array the caller filters on): gated rows
     zero, surviving rows identical, iou untouched."""
     from regda_tpu.models.sam.decoder import MaskDecoder
-    from regda_tpu.models.sam.factored_decoder import mask_decoder_fast
+    from regda_tpu.models.sam.fast_decoder import mask_decoder_fast
 
     dec = MaskDecoder(dtype=jnp.float32)
     emb = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 256)) * 0.5
@@ -1111,15 +861,12 @@ def test_twostep_upscale_iou_gate(monkeypatch):
     dense = jax.random.normal(jax.random.PRNGKey(4), (1, 8, 8, 256)) * 0.5
     params = dec.init(jax.random.PRNGKey(0), emb, pe, sparse,
                       dense)['params']
-    monkeypatch.delenv('REGDA_MONO_DECODE', raising=False)
-
     m0, i0 = mask_decoder_fast(params, emb, pe[0], sparse, dense,
-                               fused_upscale=True, factored=False)
+                               fused_upscale=True)
     m0, i0 = np.asarray(m0), np.asarray(i0)
     thr = float(np.median(i0.max(1)))
     m1, i1 = mask_decoder_fast(params, emb, pe[0], sparse, dense,
-                               fused_upscale=True, factored=False,
-                               iou_gate_thresh=thr)
+                               fused_upscale=True, iou_gate_thresh=thr)
     m1 = np.asarray(m1)
     np.testing.assert_allclose(np.asarray(i1), i0, rtol=2e-5, atol=2e-5)
     n_zero = 0
@@ -1290,9 +1037,9 @@ def test_decode_points_fast_blocked_matches_interleaved():
     pts = jax.random.uniform(jax.random.PRNGKey(13), (5, 1, 2)) * 64
     lbs = jnp.ones((5, 1), jnp.int32)
     for fused in (True, False):
-        masks_i, iou_i = model.apply(variables, emb, pts, lbs, False, fused,
+        masks_i, iou_i = model.apply(variables, emb, pts, lbs, fused,
                                      method=model.decode_points_fast)
-        masks_b, iou_b = model.apply(variables, emb, pts, lbs, False, fused,
+        masks_b, iou_b = model.apply(variables, emb, pts, lbs, fused,
                                      blocked_masks=True,
                                      method=model.decode_points_fast)
         assert masks_b.shape == (5, 48, 16)

@@ -172,6 +172,7 @@ def main():
         mcand = args.prompts * 3
         s_low = 256
         h = s_low // 4
+        ks = jax.random.split(key, 50)
         # crop frames of the reference crop_n_layers=1 configuration on a
         # 512 tile: crop0 (nh=nw=1024 -> 512x512) and the 4 sub-crops
         # (307x307 resized to the 1024 frame -> back to 307)
@@ -318,27 +319,6 @@ def main():
     per = chain_time(mh_fn, src, args.iters)
     results['mask_head_ms_per_chunk'] = per * 1000
     print(f'mask head: {per*1000:.2f} ms / {B}-prompt chunk')
-
-    # ---------------- monolithic decode (two-way + hyper + mask head) -----
-    from regda_tpu.models.sam.pallas_monodecode import mono_decode
-    hyper_w = tuple((mk(12, C, C), mk(13, C), mk(14, C, C), mk(15, C),
-                     mk(16, C, c8), mk(17, c8)) for _ in range(3))
-    up_w = (mk(10, C, 4 * c4), jnp.zeros((1, 4 * c4), jnp.float32),
-            jnp.ones((1, c4), jnp.float32), jnp.zeros((1, c4), jnp.float32),
-            mk(11, c4, 4 * c8), jnp.zeros((1, 4 * c8), jnp.float32))
-
-    @jax.jit
-    def mono_fn(keys0, s):
-        masks, qo = mono_decode((ktok0, vtok0, q1, qpe,
-                                 keys0 + s.astype(dt), pe, qimg0,
-                                 maskb, weights), hyper_w, up_w,
-                                out_dtype=dt)
-        return masks, jnp.float32(jnp.sum(qo[0, 0, :2]))
-
-    per = chain_time(lambda x, s: mono_fn(x, s), keys0, args.iters)
-    results['mono_decode_ms_per_chunk'] = per * 1000
-    print(f'mono decode: {per*1000:.2f} ms / {B}-prompt chunk '
-          f'(vs two-way + mask head separately)')
 
     # ---------------- exact-stability scoring ------------------------------
     # real chunk shape: points_per_batch prompts x 3 candidate masks, crop0

@@ -81,14 +81,15 @@ def main():
     # ---- 2. encoder global attention with fused rel-pos bias ----------
     from regda_tpu.models.sam.pallas_attention import (
         attention_with_rel_bias, _attn_stock)
-    bh, nq, d, k = (4, 256, 64, 16) if args.quick else (12, 4096, 64, 64)
-    q, kk, v = arr(bh, nq, d, scale=0.3), arr(bh, nq, d, scale=0.3), \
-        arr(bh, nq, d, scale=0.3)
-    rh, rw = arr(bh, nq, k, scale=0.3), arr(bh, nq, k, scale=0.3)
+    # kernel layouts: qkv (3, B, H, N, D), rel biases (B, H, N, K)
+    ba, ha, nq, d, k = (2, 2, 256, 64, 16) if args.quick else (5, 12, 4096,
+                                                               64, 64)
+    qkv5 = arr(3, ba, ha, nq, d, scale=0.3)
+    rh, rw = arr(ba, ha, nq, k, scale=0.3), arr(ba, ha, nq, k, scale=0.3)
     scale = d ** -0.5
-    got = attention_with_rel_bias(q, kk, v, rh, rw, scale=scale, kh=k, kw=k,
+    got = attention_with_rel_bias(qkv5, rh, rw, scale=scale, kh=k, kw=k,
                                   interpret=not on_tpu)
-    want = _attn_stock(q, kk, v, rh, rw, scale, k, k)
+    want = _attn_stock(qkv5, rh, rw, scale, k, k)
     check('encoder attention (rel-pos fused)', got, want, rtol, atol)
 
     # ---- 3. one-pass LayerNorm ----------------------------------------
@@ -132,29 +133,6 @@ def main():
     check('upscale active-gated (skipped rows zero)',
           np.asarray(gotg) * (~m_act), np.zeros_like(np.asarray(want)),
           0.0, 1e-12)
-
-    # ---- 5. ln_project (fused keys pipeline) --------------------------
-    from regda_tpu.models.sam.pallas_keys import (ln_project,
-                                                  _ln_project_stock)
-    bt, t, dp, c = (2, 1024, 128, 256) if args.quick else (8, 4096, 128,
-                                                           256)
-    delta = arr(bt, t, dp, scale=0.3)
-    wout = arr(dp, c, scale=0.1)
-    bout = arr(c)
-    lnw1, lnb1 = arr(c), arr(c)
-    pe = arr(t, c, scale=0.3)
-    projs = tuple((arr(c, 128, scale=0.1), arr(128)) for _ in range(2))
-    shared = arr(t, c, scale=0.3)
-    add_pe = (True, False)
-    keys_g, outs_g = ln_project(delta, wout, bout, lnw1, lnb1, pe, projs,
-                                shared=shared, add_pe=add_pe,
-                                interpret=not on_tpu)
-    keys_w, outs_w = _ln_project_stock(
-        (delta, wout, bout, lnw1, lnb1, pe, projs, shared, None),
-        add_pe, 1e-5)
-    check('ln_project keys', keys_g, keys_w, rtol, atol)
-    for i, (g, wv) in enumerate(zip(outs_g, outs_w)):
-        check(f'ln_project proj{i}', g, wv, rtol, atol)
 
     # ---- 5b. fused mask statistics (upscale+threshold+pack+box) --------
     from regda_tpu.models.sam.pallas_stats import mask_stats_fused
@@ -297,48 +275,6 @@ def main():
     check('two_way_fused keys2', k2g, k2w, rtol, atol)
     check('two_way_fused queries', np.asarray(qg)[:, :7],
           np.asarray(qw)[:, :7], rtol, atol)
-
-    # ---- 7. monolithic decode (two-way + hyper MLPs + mask head) -------
-    from regda_tpu.models.sam.pallas_monodecode import (mono_decode,
-                                                        _mono_stock)
-    c4m, c8m = c2 // 4, c2 // 8
-    hyper_w = tuple((arr(c2, c2, scale=0.1), arr(c2, scale=0.1),
-                     arr(c2, c2, scale=0.1), arr(c2, scale=0.1),
-                     arr(c2, c8m, scale=0.1), arr(c8m, scale=0.1))
-                    for _ in range(3))
-    up_w = (arr(c2, 4 * c4m, scale=0.1), arr(1, 4 * c4m, scale=0.1),
-            arr(1, c4m, scale=0.1), arr(1, c4m, scale=0.1),
-            arr(c4m, 4 * c8m, scale=0.1), arr(1, 4 * c8m, scale=0.1))
-    mg, qmg = mono_decode(ops, hyper_w, up_w, interpret=not on_tpu)
-    mw, qmw = _mono_stock((ops, hyper_w, up_w), 8, jnp.float32)
-    check('mono_decode masks', mg, mw, rtol, max(atol, 5e-2))
-    check('mono_decode queries', np.asarray(qmg)[:, :7],
-          np.asarray(qmw)[:, :7], rtol, atol)
-
-    # ---- 8. mono decode with the in-kernel IoU gate (all-pass == ungated;
-    # all-fail == zero masks with queries intact) ------------------------
-    iou_w = (arr(c2, c2, scale=0.1), arr(c2, scale=0.1),
-             arr(c2, c2, scale=0.1), arr(c2, scale=0.1),
-             arr(c2, 4, scale=0.1), arr(4, scale=0.1))
-    mgp, qgp, igp = mono_decode(ops, hyper_w, up_w, interpret=not on_tpu,
-                                iou_w=iou_w, iou_thresh=-1e9)
-    check('mono_decode iou-gate all-pass masks', mgp, np.asarray(mg),
-          rtol, max(atol, 5e-2))
-    mgf, qgf, _ = mono_decode(ops, hyper_w, up_w, interpret=not on_tpu,
-                              iou_w=iou_w, iou_thresh=1e9)
-    check('mono_decode iou-gate all-fail masks', mgf,
-          np.zeros_like(np.asarray(mg)), 0.0, 1e-12)
-    check('mono_decode iou-gate queries', np.asarray(qgf)[:, :7],
-          np.asarray(qmg)[:, :7], rtol, atol)
-    # the kernel's canonical iou vs the same MLP in XLA from qout row 0
-    x = np.asarray(qmg)[:, 0].astype(np.float32)
-    iw0, ib0, iw1, ib1, iw2, ib2 = (np.asarray(a, np.float32)
-                                    for a in iou_w)
-    x = np.maximum(x @ iw0 + ib0, 0.0)
-    x = np.maximum(x @ iw1 + ib1, 0.0)
-    iou_ref = (x @ iw2 + ib2)[:, 1:4]
-    check('mono_decode iou-gate iou head', np.asarray(igp), iou_ref,
-          max(rtol, 1e-2), max(atol, 1e-2))
 
     n_fail = sum(1 for _, ok, _ in RESULTS if not ok)
     print(f'\n{len(RESULTS) - n_fail}/{len(RESULTS)} kernel checks passed '
