@@ -1,5 +1,4 @@
-"""Pallas TPU kernel: SAM ViT global attention with fused decomposed
-rel-pos bias.
+"""Pallas TPU kernel: SAM ViT attention with fused decomposed rel-pos bias.
 
 The encoder's four global-attention layers dominate its runtime in the XLA
 lowering: logits are (heads, 4096, 4096) f32, and the decomposed rel-pos
@@ -14,11 +13,19 @@ This kernel keeps a q-block's logits entirely in VMEM:
     out    = softmax(logits) @ V
 
 where RH/RW are the q-contracted rel-pos tables (RH[q, kh] = q[q] .
-rel_pos_h[qh(q)-kh+K-1], shape (N, Kh) — computed OUTSIDE the kernel by the
-same einsum the stock path uses, tiny at (heads, 4096, 64) f32) and EH/EW
-are constant 0/1 expansion matrices (Kh, N) with EH[j, k] = [kh(k) == j].
-The bias "broadcast" is thus an MXU matmul fused into the logits block, and
-the (N, N) logits tensor never exists in HBM.
+rel_pos_h[qh(q)-kh+K-1] — computed OUTSIDE the kernel by the same einsum
+the stock path uses) and EH/EW are constant 0/1 expansion matrices (Kh, N)
+with EH[j, k] = [kh(k) == j]. The bias "broadcast" is thus an MXU matmul
+fused into the logits block, and the (N, N) logits tensor never exists in
+HBM.
+
+Layout note (round 4): q/k/v are BlockSpec views of ONE (3, B, H, N, D)
+tensor and the rel biases arrive in (B, H, N, K) order straight from
+their einsums, so the only relayouts per block are the single qkv
+transpose in and the head-merge transpose out. The previous interface
+took three separate (B*H, N, D) tensors, whose slice+squeeze
+materializations cost an extra ~1 ms/layer/5-crop-batch on v5e
+(XProf-measured; see PERF.md round 4).
 
 Exact math note: identical operations to the stock path (same einsum for
 RH/RW, f32 logits, max-subtracted softmax); only association order differs,
@@ -39,22 +46,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, eh_ref, ew_ref, o_ref,
-            *, scale: float):
+def _kernel(qkv_ref, rh_ref, rw_ref, eh_ref, ew_ref, o_ref, *,
+            scale: float, qb: int):
     f32 = jnp.float32
-    q = q_ref[0]                                           # (QB, D)
-    k = k_ref[0]                                           # (N, D)
-    v = v_ref[0]
+    # one (3, N, D) qkv block per (batch, head) — constant across the
+    # q-block grid axis, so Pallas DMAs it once and q-blocks slice it.
+    # qb == N (windowed layers, grid axis 2 is a single step) must read
+    # the whole ref: a dynamic full-size slice trips Mosaic's aligned
+    # vector loads when N is not sublane-divisible (e.g. 196)
+    if qb == qkv_ref.shape[3]:
+        q = qkv_ref[0, 0, 0]                               # (N, D)
+    else:
+        i = pl.program_id(2)
+        q = qkv_ref[0, 0, 0, pl.ds(i * qb, qb), :]         # (QB, D)
+    k = qkv_ref[1, 0, 0]                                   # (N, D)
+    v = qkv_ref[2, 0, 0]
     logits = jax.lax.dot_general(
         (q.astype(f32) * scale).astype(q.dtype), k,
         (((1,), (1,)), ((), ())), preferred_element_type=f32)  # (QB, N)
-    logits += jnp.dot(rh_ref[0], eh_ref[...], preferred_element_type=f32)
-    logits += jnp.dot(rw_ref[0], ew_ref[...], preferred_element_type=f32)
+    logits += jnp.dot(rh_ref[0, 0], eh_ref[...], preferred_element_type=f32)
+    logits += jnp.dot(rw_ref[0, 0], ew_ref[...], preferred_element_type=f32)
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     s = jnp.sum(p, axis=-1, keepdims=True)
     out = jnp.dot(p.astype(v.dtype), v, preferred_element_type=f32)
-    o_ref[0] = (out / s).astype(o_ref.dtype)
+    o_ref[0, 0] = (out / s).astype(o_ref.dtype)
 
 
 def _expanders(n, kh, kw, dt):
@@ -64,35 +80,39 @@ def _expanders(n, kh, kw, dt):
     return eh, ew
 
 
-def _attn_stock(q, k, v, rh, rw, scale, kh, kw):
-    """Pure-XLA twin of the kernel (same op order); used as the VJP
-    rule so the fused forward stays differentiable."""
+def _attn_stock(qkv, rh, rw, scale, kh, kw):
+    """Pure-XLA twin of the kernel (same op order, same layouts); used as
+    the VJP rule so the fused forward stays differentiable.
+
+    qkv: (3, B, H, N, D); rh: (B, H, N, Kh); rw: (B, H, N, Kw).
+    Returns (B, H, N, D)."""
     f32 = jnp.float32
-    dt = q.dtype
+    dt = qkv.dtype
     n = kh * kw
+    q, k, v = qkv[0], qkv[1], qkv[2]                     # (B, H, N, D)
     eh, ew = _expanders(n, kh, kw, dt)
-    logits = jnp.einsum('bnd,bmd->bnm', (q.astype(f32) * scale).astype(dt),
+    logits = jnp.einsum('bhnd,bhmd->bhnm', (q.astype(f32) * scale).astype(dt),
                         k, preferred_element_type=f32)
-    logits += jnp.einsum('bnk,km->bnm', rh.astype(dt), eh,
+    logits += jnp.einsum('bhnk,km->bhnm', rh.astype(dt), eh,
                          preferred_element_type=f32)
-    logits += jnp.einsum('bnk,km->bnm', rw.astype(dt), ew,
+    logits += jnp.einsum('bhnk,km->bhnm', rw.astype(dt), ew,
                          preferred_element_type=f32)
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     s = jnp.sum(p, axis=-1, keepdims=True)
-    out = jnp.einsum('bnm,bmd->bnd', p.astype(v.dtype), v,
+    out = jnp.einsum('bhnm,bhmd->bhnd', p.astype(v.dtype), v,
                      preferred_element_type=f32)
-    return (out / s).astype(q.dtype)
+    return (out / s).astype(qkv.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _attn_cvjp(q, k, v, rh, rw, scale, kh, kw, interpret):
-    return _attn_fwd_impl(q, k, v, rh, rw, scale, kh, kw, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _attn_cvjp(qkv, rh, rw, scale, kh, kw, interpret):
+    return _attn_fwd_impl(qkv, rh, rw, scale, kh, kw, interpret)
 
 
-def _attn_fwd(q, k, v, rh, rw, scale, kh, kw, interpret):
-    return (_attn_fwd_impl(q, k, v, rh, rw, scale, kh, kw, interpret),
-            (q, k, v, rh, rw))
+def _attn_fwd(qkv, rh, rw, scale, kh, kw, interpret):
+    return (_attn_fwd_impl(qkv, rh, rw, scale, kh, kw, interpret),
+            (qkv, rh, rw))
 
 
 def _attn_bwd(scale, kh, kw, interpret, res, g):
@@ -104,31 +124,33 @@ def _attn_bwd(scale, kh, kw, interpret, res, g):
 _attn_cvjp.defvjp(_attn_fwd, _attn_bwd)
 
 
-def attention_with_rel_bias(q, k, v, rh, rw, *, scale: float, kh: int,
+def attention_with_rel_bias(qkv, rh, rw, *, scale: float, kh: int,
                             kw: int, interpret: bool | None = None):
     """softmax((q*scale) @ k^T + expand(rh) + expand(rw)) @ v, fused.
 
-    q/k/v: (BH, N, D) with N = kh*kw tokens in row-major (h, w) order;
-    rh: (BH, N, kh) f32 q-contracted height bias; rw: (BH, N, kw) f32.
-    Returns (BH, N, D) in q.dtype. Differentiable: backward is the VJP of
-    the identical stock formula (_attn_stock).
+    qkv: (3, B, H, N, D) with N = kh*kw tokens in row-major (h, w) order;
+    rh: (B, H, N, kh) q-contracted height bias; rw: (B, H, N, kw).
+    Returns (B, H, N, D) in qkv.dtype. The kernel reads q/k/v as
+    BlockSpec views of the one qkv tensor — no per-head slices ever
+    materialize. Differentiable: backward is the VJP of the identical
+    stock formula (_attn_stock).
     """
-    return _attn_cvjp(q, k, v, rh, rw, scale, kh, kw, interpret)
+    return _attn_cvjp(qkv, rh, rw, scale, kh, kw, interpret)
 
 
 @functools.partial(jax.jit,
                    static_argnames=('scale', 'kh', 'kw', 'interpret'))
-def _attn_fwd_impl(q, k, v, rh, rw, scale: float, kh: int,
+def _attn_fwd_impl(qkv, rh, rw, scale: float, kh: int,
                    kw: int, interpret: bool | None = None):
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
-    bh, n, d = q.shape
-    assert n == kh * kw, (n, kh, kw)
+    three, b, h, n, d = qkv.shape
+    assert three == 3 and n == kh * kw, (qkv.shape, kh, kw)
     # bias expansion dots run in the compute dtype: in f32 they cost as
     # much as the attention matmuls themselves (half-rate MXU); in bf16
     # the bias carries the same precision as the bf16 q/k products it
     # joins (f32 accumulation either way)
-    dt = q.dtype
+    dt = qkv.dtype
     eh, ew = _expanders(n, kh, kw, dt)
     rh = rh.astype(dt)
     rw = rw.astype(dt)
@@ -140,28 +162,25 @@ def _attn_fwd_impl(q, k, v, rh, rw, scale: float, kh: int,
         if n % cand == 0:
             qb = cand
             break
-    grid = (bh, n // qb)
+    grid = (b, h, n // qb)
     return pl.pallas_call(
-        functools.partial(_kernel, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        functools.partial(_kernel, scale=scale, qb=qb),
+        out_shape=jax.ShapeDtypeStruct((b, h, n, d), qkv.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, qb, d), lambda b, i: (b, i, 0),
+            pl.BlockSpec((3, 1, 1, n, d), lambda bi, hi, i: (0, bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, 1, qb, kh), lambda bi, hi, i: (bi, hi, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, 1, qb, kw), lambda bi, hi, i: (bi, hi, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, qb, kh), lambda b, i: (b, i, 0),
+            pl.BlockSpec((kh, n), lambda bi, hi, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, qb, kw), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((kh, n), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((kw, n), lambda b, i: (0, 0),
+            pl.BlockSpec((kw, n), lambda bi, hi, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, qb, d), lambda b, i: (b, i, 0),
+        out_specs=pl.BlockSpec((1, 1, qb, d),
+                               lambda bi, hi, i: (bi, hi, i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(q, k, v, rh, rw, eh, ew)
+    )(qkv, rh, rw, eh, ew)

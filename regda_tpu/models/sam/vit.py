@@ -102,10 +102,13 @@ class Attention(nn.Module):
         head_dim = self.dim // self.num_heads
         scale = head_dim ** -0.5
         qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name='qkv')(x)
-        qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
-        qkv = qkv.transpose(2, 0, 3, 1, 4).reshape(3, b * self.num_heads,
-                                                   h * w, head_dim)
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        # ONE relayout into (3, B, H, N, D); the fused kernel reads
+        # q/k/v as BlockSpec views of this single tensor. The previous
+        # form sliced it into three (B*H, N, D) tensors, whose
+        # slice+squeeze materializations cost ~1 ms/layer per 5-crop
+        # batch on v5e (XProf, PERF.md round 4).
+        qkv = (qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
+               .transpose(2, 0, 3, 1, 4))                 # (3, B, H, N, D)
         if self.use_rel_pos:
             rel_pos_h = self.param('rel_pos_h', nn.initializers.zeros,
                                    (2 * self.input_size[0] - 1, head_dim))
@@ -116,24 +119,31 @@ class Attention(nn.Module):
                 attention_with_rel_bias)
             rh = _get_rel_pos(h, h, rel_pos_h)             # (h, h, hd)
             rw = _get_rel_pos(w, w, rel_pos_w)
-            r_q = q.reshape(-1, h, w, head_dim)
+            # qkv[0] is a major-most slice (no relayout); einsums emit the
+            # kernel's (B, H, N, K) order directly, f32 accumulation with
+            # the output re-rounded to the compute dtype in the epilogue
+            # (the kernel casts to it anyway)
+            r_q = qkv[0].reshape(b, self.num_heads, h, w, head_dim)
             f32 = jnp.float32
-            rel_h = jnp.einsum('bhwc,hkc->bhwk', r_q, rh,
-                               preferred_element_type=f32)
-            rel_w = jnp.einsum('bhwc,wkc->bhwk', r_q, rw,
-                               preferred_element_type=f32)
+            rel_h = jnp.einsum('bgxyc,xkc->bgxyk', r_q, rh,
+                               preferred_element_type=f32).astype(qkv.dtype)
+            rel_w = jnp.einsum('bgxyc,ykc->bgxyk', r_q, rw,
+                               preferred_element_type=f32).astype(qkv.dtype)
             x = attention_with_rel_bias(
-                q, k, v, rel_h.reshape(-1, h * w, h),
-                rel_w.reshape(-1, h * w, w), scale=scale, kh=h, kw=w)
-            x = x.reshape(b, self.num_heads, h * w, head_dim)
+                qkv, rel_h.reshape(b, self.num_heads, h * w, h),
+                rel_w.reshape(b, self.num_heads, h * w, w),
+                scale=scale, kh=h, kw=w)                  # (B, H, N, D)
+            x = x.transpose(0, 2, 1, 3).reshape(b, h, w, self.dim)
         else:
+            qkv3 = qkv.reshape(3, b * self.num_heads, h * w, head_dim)
+            q, k, v = qkv3[0], qkv3[1], qkv3[2]
             attn = (q * scale) @ k.transpose(0, 2, 1)
             if self.use_rel_pos:
                 attn = _add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w,
                                                (h, w), (h, w))
             attn = jax.nn.softmax(attn, axis=-1)
             x = (attn @ v).reshape(b, self.num_heads, h * w, head_dim)
-        x = x.transpose(0, 2, 1, 3).reshape(b, h, w, self.dim)
+            x = x.transpose(0, 2, 1, 3).reshape(b, h, w, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name='proj')(x)
 
 
@@ -321,17 +331,19 @@ class ImageEncoderViT(nn.Module):
         # ~14 ms/tile of convert_add fusions on the 5-crop pyramid encode).
         # In f32 mode this cast is a no-op; norms still reduce in f32.
         x = (x + pos.astype(self.dtype)).astype(self.dtype)
-        # persistent windowed layout across consecutive windowed blocks:
-        # one partition per windowed run + one unpartition before each
-        # global block, instead of a pair per block (see Block.__call__)
         windowed = [i not in self.global_attn_indexes
                     and self.window_size > 0 for i in range(self.depth)]
-        # A/B escape hatch (trace-time): repartition per block instead of
-        # the persistent layout — the two permutes per block fuse into
-        # neighbors well enough that per-layer timings are within ~10% of
-        # each other on v5e; keep both measurable
+        # DEFAULT: partition+unpartition per windowed block. The
+        # "persistent windowed layout" (one partition per windowed RUN,
+        # kept between consecutive windowed blocks) measured SLOWER on
+        # v5e both per-layer (2.12 vs 1.90 ms/crop/layer) and end-to-end
+        # (3.337 vs 3.434 tiles/s at crop_n_layers=1, round-4 A/B): the
+        # per-block permutes fuse into neighboring elementwise ops while
+        # the persistent form's pad-remask + strided attention layout do
+        # not. REGDA_VIT_WINDOW_PERSISTENT=1 restores the losing layout
+        # for future A/Bs (trace-time switch).
         import os as _os
-        persistent = not _os.environ.get('REGDA_VIT_WINDOW_REPARTITION')
+        persistent = bool(_os.environ.get('REGDA_VIT_WINDOW_PERSISTENT'))
         layout_windowed = False
         for i in range(self.depth):
             w_out = (persistent and windowed[i] and (i + 1 < self.depth)

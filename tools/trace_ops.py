@@ -1,0 +1,166 @@
+"""Capture a jax.profiler trace of one SAM phase and print per-op self
+times (the XProf op-stats table, parsed headlessly).
+
+PERF.md's encoder/decode budgets cite XProf numbers; this tool makes that
+measurement reproducible from the CLI instead of a notebook: it traces N
+steady-state iterations of one phase (encode pyramid / decode chunk /
+stability / seg-infer forward), converts the xplane protobuf with
+tensorboard_plugin_profile, and prints the top ops by device self-time
+plus a matmul-vs-other rollup — the "non-matmul overhead" number VERDICT
+tracks.
+
+Usage:
+  python tools/trace_ops.py --what encode [--iters 5] [--top 30]
+  python tools/trace_ops.py --what decode
+"""
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _build(what: str, iters: int):
+    """Returns (fn, args) where fn(*args) enqueues one traced iteration."""
+    import jax
+    import jax.numpy as jnp
+    dt = jnp.bfloat16
+    key = jax.random.PRNGKey(0)
+    if what == 'encode':
+        from regda_tpu.models.sam.vit import ImageEncoderViT, VIT_CONFIGS
+        enc = ImageEncoderViT(**VIT_CONFIGS['vit_b'], dtype=dt)
+        x = jax.random.normal(key, (5, 1024, 1024, 3), dt)
+        ev = enc.init({'params': key}, x[:1])
+
+        @jax.jit
+        def fn(ev, x, s):
+            out = enc.apply(ev, x + s.astype(dt))
+            return jnp.float32(jnp.sum(out[0, 0, 0, :2]))
+
+        return fn, (ev, x)
+    if what == 'decode':
+        # one everything-mode decode chunk at bench shapes: 128 prompts,
+        # exact stability on the crop0 frame, blocked masks, iou gate
+        from regda_tpu.models.sam.auto import Sam, SamAutomaticMaskGenerator
+        model = Sam(vit_config='vit_b')
+        variables = model.init(
+            {'params': key}, jnp.zeros((1, 1024, 1024, 3)),
+            jnp.zeros((1, 1, 2)), jnp.ones((1, 1), jnp.int32))
+        gen = SamAutomaticMaskGenerator(
+            model, variables, points_per_side=32, points_per_batch=128,
+            pred_iou_thresh=0.90, stability_score_thresh=0.95)
+        dec = gen._decode_fn((512, 512, 512, 512))
+        emb = jax.random.normal(key, (1, 64, 64, 256), jnp.float32)
+        pts = jax.random.uniform(key, (128, 2), jnp.float32) * 512
+
+        @jax.jit
+        def fn(variables, emb, pts, s):
+            masks, iou, stab = dec(variables, emb, pts + s)
+            return jnp.float32(jnp.sum(iou) + jnp.sum(stab))
+
+        return fn, (gen.variables, emb, pts)
+    if what == 'seg':
+        from regda_tpu.models.deeplabv2 import Deeplabv2
+        model = Deeplabv2.reference_config(num_classes=6)
+        x = jax.random.normal(key, (16, 512, 512, 3), dt)
+        v = model.init({'params': key}, x[:1], train=False)
+
+        @jax.jit
+        def fn(v, x, s):
+            out = model.apply(v, x + s.astype(dt), train=False)
+            return jnp.float32(jnp.sum(out[0, 0, 0, :2]))
+
+        return fn, (v, x)
+    raise SystemExit(f'unknown --what {what}')
+
+
+def _op_table(logdir: str):
+    """Parse the captured xplane into (op_name, category, self_us) rows."""
+    from tensorboard_plugin_profile.convert import raw_to_tool_data as rttd
+    paths = glob.glob(os.path.join(logdir, '**', '*.xplane.pb'),
+                      recursive=True)
+    assert paths, f'no xplane.pb under {logdir}'
+    data, _ = rttd.xspace_to_tool_data(paths, 'framework_op_stats', {})
+    if isinstance(data, bytes):
+        try:
+            data = gzip.decompress(data)
+        except OSError:
+            pass
+        data = data.decode('utf-8', 'replace')
+    return data
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--what', default='encode',
+                    choices=('encode', 'decode', 'seg'))
+    ap.add_argument('--iters', type=int, default=5)
+    ap.add_argument('--top', type=int, default=30)
+    ap.add_argument('--logdir', default='/tmp/regda_trace')
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), '.jax_cache')
+    try:
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+    except Exception:
+        pass
+
+    fn, fargs = _build(args.what, args.iters)
+    s = jnp.zeros((), jnp.float32)
+    s = fn(*fargs, s)                          # compile
+    np.asarray(s)
+    logdir = os.path.join(args.logdir, args.what)
+    os.makedirs(logdir, exist_ok=True)
+    for f in glob.glob(os.path.join(logdir, '**', '*.xplane.pb'),
+                       recursive=True):
+        os.remove(f)
+    jax.profiler.start_trace(logdir)
+    s = jnp.zeros((), jnp.float32)
+    for _ in range(args.iters):
+        s = fn(*fargs, s)
+    np.asarray(s)
+    jax.profiler.stop_trace()
+
+    raw = _op_table(logdir)
+    try:
+        table = json.loads(raw)
+    except json.JSONDecodeError:
+        print(raw[:4000])
+        return
+    # tensorboard's DataTable JSON: [ {cols, rows}, ... ] — first entry is
+    # the device table
+    dev = table[0] if isinstance(table, list) else table
+    cols = [c['label'] for c in dev['cols']]
+    rows = [[c['v'] for c in r['c']] for r in dev['rows']]
+    i_name = cols.index('Operation')
+    i_self = next(i for i, c in enumerate(cols) if 'self-time' in c.lower()
+                  or 'Self time' in c)
+    i_cat = cols.index('Type') if 'Type' in cols else None
+    rows.sort(key=lambda r: -(r[i_self] or 0))
+    total = sum(r[i_self] or 0 for r in rows)
+    mm = sum((r[i_self] or 0) for r in rows
+             if i_cat is not None and ('dot' in str(r[i_cat]).lower()
+                                       or 'conv' in str(r[i_cat]).lower()))
+    print(f'total device self-time: {total * 1e3:.3f} ms '
+          f'({total * 1e3 / args.iters:.3f} ms/iter)')
+    if i_cat is not None:
+        print(f'matmul/conv share: {mm / max(total, 1e-9) * 100:.1f}%')
+    print(f'{"self ms/iter":>12}  {"%":>5}  op')
+    for r in rows[:args.top]:
+        st = (r[i_self] or 0) * 1e3 / args.iters
+        pct = (r[i_self] or 0) / max(total, 1e-9) * 100
+        cat = f' [{r[i_cat]}]' if i_cat is not None else ''
+        print(f'{st:12.3f}  {pct:5.1f}  {r[i_name]}{cat}')
+
+
+if __name__ == '__main__':
+    main()
