@@ -35,7 +35,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
-from PIL import Image
 
 from regda_tpu.models.sam.vit import ImageEncoderViT, VIT_CONFIGS
 from regda_tpu.models.sam.prompt import PromptEncoder
@@ -164,7 +163,12 @@ def _box_iou(box, boxes):
 
 
 def nms_boxes(boxes: np.ndarray, scores: np.ndarray, iou_thresh: float):
-    order = np.argsort(-scores)
+    """Greedy box NMS, torchvision semantics (suppress iou > thresh,
+    areas (x1-x0)*(y1-y0)) with a STABLE descending score sort — the
+    cross-crop pass scores by 1/crop-area, so whole crops tie and the
+    tie-break must be data order (see tests/sam_postproc_oracle.py's
+    module note on upstream's unstable sort)."""
+    order = np.argsort(-scores, kind='stable')
     keep = []
     while order.size:
         i = order[0]
@@ -174,6 +178,27 @@ def nms_boxes(boxes: np.ndarray, scores: np.ndarray, iou_thresh: float):
         ious = _box_iou(boxes[i], boxes[order[1:]])
         order = order[1:][ious <= iou_thresh]
     return np.asarray(keep, np.int64)
+
+
+def is_box_near_crop_edge(boxes, crop_box, orig_hw, atol: float = 20.0):
+    """Upstream amg.is_box_near_crop_edge: True for boxes (image coords,
+    XYXY) within atol of the crop boundary but NOT within atol of the
+    image boundary — everything-mode drops these before per-crop NMS
+    (they are expected to be re-found whole by an enclosing crop)."""
+    boxes = np.asarray(boxes, np.float32)
+    crop = np.asarray(crop_box, np.float32)
+    orig = np.asarray([0, 0, orig_hw[1], orig_hw[0]], np.float32)
+    near_crop = np.abs(boxes - crop[None]) <= atol
+    near_image = np.abs(boxes - orig[None]) <= atol
+    return np.any(near_crop & ~near_image, axis=1)
+
+
+def _crop_nms_scores(crop_box) -> float:
+    """Upstream cross-crop NMS score: 1 / area(source crop box) — masks
+    from SMALLER crops win ties over the full-image crop; predicted IoU
+    plays no role in the cross-crop pass."""
+    x0, y0, x1, y1 = crop_box
+    return 1.0 / float((x1 - x0) * (y1 - y0))
 
 
 class SamAutomaticMaskGenerator:
@@ -470,21 +495,35 @@ class SamAutomaticMaskGenerator:
             self._jits[key] = jax.jit(dec_all)
         return self._jits[key]
 
-    def _upscale_fn(self, out_hw):
-        key = ('upscale', out_hw)
+    def _crop_bits_fn(self, key_hw):
+        """(M, 256, 256) low-res logits -> bit-packed CROP-resolution
+        masks (M, ch, ceil(cw/8)*8 // 8) uint8 via the composed resize
+        matrices — upstream postprocess_masks semantics (resample to crop
+        size, THEN binarize; the old path binarized at the model frame and
+        nearest-resized at paint, flipping boundary pixels vs upstream).
+        Unpack with np.unpackbits(...)[:, :, :cw]."""
+        key = ('crop_bits', key_hw)
         if key not in self._jits:
-            from regda_tpu.ops.resize import resize_bilinear_half_pixel
+            nh, nw, ch, cw = key_hw
+            m_np = self._exact_stability_matrices(key_hw, self.img_size // 4)
+            m_h = jnp.asarray(m_np[0])                       # (ch, S)
+            m_wt = jnp.asarray(m_np[1].T)                    # (S, cw)
+            cw8 = -(-cw // 8) * 8
+            hi = jax.lax.Precision.HIGHEST
 
             def ups(logits):
-                """(M, 256, 256) low-res logits -> bit-packed masks
-                (M, H, W // 8) uint8 (8x smaller host transfer; unpack with
-                np.unpackbits)."""
-                x = logits[..., None]
-                x = resize_bilinear_half_pixel(x, out_hw)[..., 0]
-                bits = (x > 0.0).astype(jnp.uint8)
-                m, h, w = bits.shape
+                x = logits.astype(jnp.float32)
+                y = jnp.einsum('hs,msw->mhw', m_h, x,
+                               preferred_element_type=jnp.float32,
+                               precision=hi)
+                y = jnp.einsum('mhw,wc->mhc', y, m_wt,
+                               preferred_element_type=jnp.float32,
+                               precision=hi)                 # (M, ch, cw)
+                bits = jnp.pad((y > 0.0).astype(jnp.uint8),
+                               ((0, 0), (0, 0), (0, cw8 - cw)))
                 weights = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
-                return (bits.reshape(m, h, w // 8, 8)
+                mm = bits.shape[0]
+                return (bits.reshape(mm, ch, cw8 // 8, 8)
                         * weights).sum(-1).astype(jnp.uint8)
 
             self._jits[key] = jax.jit(ups)
@@ -492,12 +531,26 @@ class SamAutomaticMaskGenerator:
 
     # ------------------------------------------------------------- pipeline
     def _preprocess(self, image_np: np.ndarray) -> np.ndarray:
-        """uint8 HWC crop -> (1, 1024, 1024, 3) normalized float32."""
+        """uint8 HWC crop -> (1, 1024, 1024, 3) normalized float32.
+
+        Resize is EXACT float half-pixel bilinear — the same math as the
+        device preprocess (_preprocess_device_fn) and torch
+        F.interpolate(align_corners=False), so every repo path sees
+        identical encoder inputs. Upstream instead resizes through PIL
+        (fixed-point coefficients + uint8 rounding of the resized image);
+        the deviation is bounded by the uint8 quantum (<= 1/255 per pixel
+        pre-normalization) and is this framework's documented
+        preprocessing contract."""
+        from regda_tpu.ops.resize import _interp_matrix_half_pixel
         h, w = image_np.shape[:2]
         nh, nw = preprocess_shape(h, w, self.img_size)
-        img = np.asarray(Image.fromarray(image_np).resize(
-            (nw, nh), Image.BILINEAR), np.float32)
-        img = (img - SAM_PIXEL_MEAN) / SAM_PIXEL_STD
+        x = image_np.astype(np.float32)
+        if (nh, nw) != (h, w):
+            r_h = _interp_matrix_half_pixel(h, nh).astype(np.float32)
+            r_w = _interp_matrix_half_pixel(w, nw).astype(np.float32)
+            x = np.einsum('Hh,hwc->Hwc', r_h, x)
+            x = np.einsum('Ww,Hwc->HWc', r_w, x)
+        img = (x - SAM_PIXEL_MEAN) / SAM_PIXEL_STD
         out = np.zeros((self.img_size, self.img_size, 3), np.float32)
         out[:nh, :nw] = img
         return out[None], (nh, nw)
@@ -529,72 +582,70 @@ class SamAutomaticMaskGenerator:
             jnp.asarray(valid_pts))
         ok = np.asarray(sel_ok)
         if not ok.any():
-            return [], np.zeros((0, 4)), np.zeros((0,))
+            return []
         ious = np.asarray(sel_iou)[ok]
 
-        # upscale the selected logits to the 1024 frame on device; transfer
-        # bit-packed (budget, 1024, 128) uint8 and unpack on host
-        ups = self._upscale_fn((self.img_size, self.img_size))
-        packed = np.asarray(ups(sel_logits))
-        masks_all = np.unpackbits(packed, axis=-1).astype(bool)
-        masks_full = masks_all[ok][:, :nh, :nw]
-        # resize to crop resolution
-        if (nh, nw) != (ch, cw):
-            masks_crop = np.stack([
-                np.asarray(Image.fromarray(m).resize((cw, ch), Image.NEAREST))
-                for m in masks_full])
-        else:
-            masks_crop = masks_full
+        # resample the selected logits to CROP resolution on device
+        # (upstream postprocess_masks), transfer bit-packed, unpack
+        packed = np.asarray(self._crop_bits_fn((nh, nw, ch, cw))(sel_logits))
+        masks_crop = np.unpackbits(packed, axis=-1)[:, :, :cw].astype(bool)
+        masks_crop = masks_crop[ok]
 
-        # boxes + areas
-        boxes, areas, keep = [], [], []
+        # boxes in upstream's INCLUSIVE max-index convention (empty masks
+        # -> [0,0,0,0], kept — amg.batched_mask_to_box)
+        boxes = np.zeros((len(masks_crop), 4), np.float32)
+        areas = np.zeros((len(masks_crop),), np.int64)
         for i, m in enumerate(masks_crop):
             ys, xs = np.nonzero(m)
-            if ys.size == 0:
-                continue
-            keep.append(i)
-            boxes.append([xs.min() + x0, ys.min() + y0,
-                          xs.max() + 1 + x0, ys.max() + 1 + y0])
-            areas.append(ys.size)
-        if not keep:
-            return [], np.zeros((0, 4)), np.zeros((0,))
-        masks_crop = masks_crop[keep]
-        ious = ious[np.asarray(keep)]
-        boxes = np.asarray(boxes, np.float32)
+            if ys.size:
+                boxes[i] = [xs.min(), ys.min(), xs.max(), ys.max()]
+                areas[i] = ys.size
 
-        # per-crop NMS
+        # drop masks whose box is near the crop edge but not the image
+        # edge (upstream _process_batch, BEFORE per-crop NMS)
+        keep = ~is_box_near_crop_edge(
+            boxes + np.array([x0, y0, x0, y0], np.float32),
+            crop_box, image_np.shape[:2])
+        masks_crop, ious = masks_crop[keep], ious[keep]
+        boxes, areas = boxes[keep], areas[keep]
+        if not len(masks_crop):
+            return []
+
+        # per-crop NMS scored by predicted IoU (crop-frame boxes; NMS is
+        # translation-invariant so uncropping after matches upstream)
         k = nms_boxes(boxes, ious, self.box_nms_thresh)
         anns = []
         for i in k:
             full = np.zeros(image_np.shape[:2], bool)
             full[y0:y1, x0:x1] = masks_crop[i]
             anns.append({'segmentation': full,
-                         'area': int(masks_crop[i].sum()),
-                         'bbox': boxes[i].tolist(),
-                         'predicted_iou': float(ious[i])})
-        return anns, boxes[k], ious[k]
+                         'area': int(areas[i]),
+                         'bbox': (boxes[i] + [x0, y0, x0, y0]).tolist(),
+                         'predicted_iou': float(ious[i]),
+                         'crop_box': list(crop_box)})
+        return anns
 
     def generate(self, image_np: np.ndarray) -> list[dict]:
-        """image_np: uint8 (H, W, 3). Returns list of annotation dicts."""
+        """image_np: uint8 (H, W, 3). Returns list of annotation dicts in
+        upstream order (cross-crop NMS keep order — the order the
+        reference's region-id packing consumes, local_region_homog.py:
+        51-56)."""
         crop_boxes, layer_idxs = generate_crop_boxes(
             image_np.shape[:2], self.crop_n_layers, self.crop_overlap_ratio)
-        all_anns, all_boxes, all_scores = [], [], []
+        all_anns = []
         for box, layer in zip(crop_boxes, layer_idxs):
-            anns, boxes, scores = self._process_crop(image_np, box, layer)
-            # prefer masks from smaller crops under cross-crop NMS (SAM
-            # scores crop results by 1/len(crop)) — approximated by keeping
-            # per-crop order and demoting layer-0 duplicates
-            for a, s in zip(anns, scores):
+            anns = self._process_crop(image_np, box, layer)
+            for a in anns:
                 a['crop_layer'] = layer
             all_anns += anns
-            if len(boxes):
-                all_boxes.append(boxes)
-                all_scores.append(scores + layer * 1e-3)
         if not all_anns:
             return []
         if len(crop_boxes) > 1:
-            boxes = np.concatenate(all_boxes)
-            scores = np.concatenate(all_scores)
+            # upstream cross-crop NMS: scores are 1/area(source crop box)
+            # — smaller crops win; predicted IoU plays no role here
+            boxes = np.asarray([a['bbox'] for a in all_anns], np.float32)
+            scores = np.asarray([_crop_nms_scores(a['crop_box'])
+                                 for a in all_anns], np.float32)
             keep = nms_boxes(boxes, scores, self.crop_nms_thresh)
             all_anns = [all_anns[i] for i in keep]
         return all_anns
@@ -705,47 +756,53 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
         return self._jits[key]
 
     def _mask_stats_fn(self, key_hw):
-        """(budget, 256, 256) logits -> (masks1024 bool, boxes, areas) with
-        boxes/areas scaled to the crop pixel frame."""
+        """(budget, 256, 256) logits -> (masks (M, ch, cw) bool at CROP
+        resolution via the composed resize chain — upstream
+        postprocess_masks semantics — plus INCLUSIVE-convention boxes and
+        exact pixel areas in the crop frame)."""
         key = ('mask_stats', key_hw)
         if key not in self._jits:
-            from regda_tpu.ops.resize import resize_bilinear_half_pixel
             nh, nw, ch, cw = key_hw
-            size = self.img_size
+            m_np = self._exact_stability_matrices(key_hw, self.img_size // 4)
+            m_h = jnp.asarray(m_np[0])                       # (ch, S)
+            m_wt = jnp.asarray(m_np[1].T)                    # (S, cw)
+            hi = jax.lax.Precision.HIGHEST
 
             def stats(logits):
-                x = resize_bilinear_half_pixel(logits[..., None],
-                                               (size, size))[..., 0]
-                masks = x > 0.0                                   # (M, S, S)
-                m = masks[:, :nh, :nw]
-                rows = m.any(axis=2)                              # (M, nh)
-                cols = m.any(axis=1)                              # (M, nw)
-                ys = jnp.arange(nh)
-                xs = jnp.arange(nw)
-                y0 = jnp.min(jnp.where(rows, ys, nh), axis=1)
-                y1 = jnp.max(jnp.where(rows, ys, -1), axis=1) + 1
-                x0 = jnp.min(jnp.where(cols, xs, nw), axis=1)
-                x1 = jnp.max(jnp.where(cols, xs, -1), axis=1) + 1
-                sy, sx = ch / nh, cw / nw
-                boxes = jnp.stack([x0 * sx, y0 * sy, x1 * sx, y1 * sy], 1)
-                areas = m.sum(axis=(1, 2)) * (sy * sx)
-                return masks, boxes.astype(jnp.float32), areas
+                x = logits.astype(jnp.float32)
+                y = jnp.einsum('hs,msw->mhw', m_h, x,
+                               preferred_element_type=jnp.float32,
+                               precision=hi)
+                y = jnp.einsum('mhw,wc->mhc', y, m_wt,
+                               preferred_element_type=jnp.float32,
+                               precision=hi)
+                m = y > 0.0                                   # (M, ch, cw)
+                rows = m.any(axis=2)
+                cols = m.any(axis=1)
+                ys = jnp.arange(ch)
+                xs = jnp.arange(cw)
+                y0 = jnp.min(jnp.where(rows, ys, ch), axis=1)
+                y1 = jnp.max(jnp.where(rows, ys, -1), axis=1)
+                x0 = jnp.min(jnp.where(cols, xs, cw), axis=1)
+                x1 = jnp.max(jnp.where(cols, xs, -1), axis=1)
+                boxes = jnp.stack([x0, y0, x1, y1], 1).astype(jnp.float32)
+                empty = (y1 < y0) | (x1 < x0)
+                boxes = jnp.where(empty[:, None], 0.0, boxes)
+                areas = m.sum(axis=(1, 2))
+                return m, boxes, areas
             self._jits[key] = jax.jit(stats)
         return self._jits[key]
 
     def _paint_fn(self, paint_key):
-        """Max-paint ids into the canvas region covered by one crop."""
+        """Max-paint ids into the canvas region covered by one crop
+        (masks already at crop resolution)."""
         key = ('paint', paint_key)
         if key not in self._jits:
-            nh, nw, x0, y0, ch, cw = paint_key
+            x0, y0, ch, cw = paint_key
 
             def paint(canvas, masks, ids):
-                # nearest resize of masks[:, :nh, :nw] -> (M, ch, cw)
-                yi = ((jnp.arange(ch) + 0.5) * nh / ch).astype(jnp.int32)
-                xi = ((jnp.arange(cw) + 0.5) * nw / cw).astype(jnp.int32)
-                m = masks[:, yi][:, :, xi]                        # (M, ch, cw)
                 contrib = jnp.max(
-                    m * ids[:, None, None].astype(jnp.int32), axis=0)
+                    masks * ids[:, None, None].astype(jnp.int32), axis=0)
                 region = jax.lax.dynamic_slice(canvas, (y0, x0), (ch, cw))
                 return jax.lax.dynamic_update_slice(
                     canvas, jnp.maximum(region, contrib), (y0, x0))
@@ -788,53 +845,58 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
         crop_boxes, layer_idxs = generate_crop_boxes(
             (h, w), self.crop_n_layers, self.crop_overlap_ratio)
         crops = []
-        cand = []                     # (crop_idx, mask_idx, box_img, score)
+        cand = []          # (crop_idx, mask_idx, box_img, area, crop_score)
         for ci, (box, layer) in enumerate(zip(crop_boxes, layer_idxs)):
             r = self._crop_device(image_np, box, layer)
             crops.append((r, box))
             ok, areas = np.asarray(r['ok']), np.asarray(r['areas'])
-            valid = ok & (areas >= area_threshold) & (areas > 0)
+            b_all = np.asarray(r['boxes']) + np.array(
+                [box[0], box[1], box[0], box[1]], np.float32)
+            # upstream candidate set: iou/stability survivors minus boxes
+            # near the crop edge (but not the image edge); the LRH area
+            # threshold gates PAINTING only (small anns keep their id
+            # slots and participate in NMS — local_region_homog.py:51-56)
+            valid = ok & ~is_box_near_crop_edge(b_all, box, (h, w))
             idxs = np.nonzero(valid)[0]
             if not len(idxs):
                 continue
-            b = np.asarray(r['boxes'])[idxs] + np.array(
-                [box[0], box[1], box[0], box[1]], np.float32)
             scores = np.asarray(r['iou'])[idxs]
-            # per-crop NMS
-            keep = nms_boxes(b, scores, self.box_nms_thresh)
+            keep = nms_boxes(b_all[idxs], scores, self.box_nms_thresh)
             for k in keep:
-                cand.append((ci, int(idxs[k]), b[k],
-                             float(scores[k]) + layer * 1e-3))
+                cand.append((ci, int(idxs[k]), b_all[idxs[k]],
+                             float(areas[idxs[k]]), _crop_nms_scores(box)))
         if not cand:
             return np.zeros((h, w), np.int32)
         boxes = np.stack([c[2] for c in cand])
-        scores = np.array([c[3] for c in cand])
+        scores = np.array([c[4] for c in cand])
+        # cross-crop NMS scored by 1/crop-area (upstream); single-crop:
+        # data order IS the per-crop NMS keep order
         order = (nms_boxes(boxes, scores, self.crop_nms_thresh)
-                 if len(crop_boxes) > 1 else np.argsort(-scores))
+                 if len(crop_boxes) > 1 else np.arange(len(cand)))
         if len(order) >= _lrh_max_regions():
             import warnings
             warnings.warn(
                 f'{len(order)} regions survive NMS, >= LRH MAX_REGIONS '
-                f'({_lrh_max_regions()}); keeping the '
-                f'{_lrh_max_regions() - 1} highest-scoring so ids stay '
-                'within the LRH budget')
+                f'({_lrh_max_regions()}); keeping the first '
+                f'{_lrh_max_regions() - 1} so ids stay within the LRH '
+                'budget')
             order = order[:_lrh_max_regions() - 1]
         # assign global ids in keep order (max-paint => higher id wins,
-        # matching regions_from_anns' sequential overwrite)
-        # ids sized to the actual device selection (min(budget, grid*3))
+        # matching the reference paint loop's sequential overwrite); anns
+        # below the area threshold consume an id but are never painted
         per_crop_ids = {ci: np.zeros(int(crops[ci][0]['ok'].shape[0]),
                                      np.int32)
                         for ci in range(len(crop_boxes))}
         for gid, oi in enumerate(order):
-            ci, mi, _, _ = cand[oi]
-            per_crop_ids[ci][mi] = gid + 1
+            ci, mi, _, area, _ = cand[oi]
+            if area >= area_threshold:
+                per_crop_ids[ci][mi] = gid + 1
         canvas = jnp.zeros((h, w), jnp.int32)
         for ci, (r, box) in enumerate(crops):
             ids = per_crop_ids[ci]
             if not ids.any():
                 continue
-            paint = self._paint_fn((r['nh'], r['nw'], box[0], box[1],
-                                    r['ch'], r['cw']))
+            paint = self._paint_fn((box[0], box[1], r['ch'], r['cw']))
             canvas = paint(canvas, r['masks'], jnp.asarray(ids))
         # ids stay well under 2^16: halve the (slow-link) download
         return np.asarray(canvas.astype(jnp.uint16)).astype(np.int32)
@@ -981,51 +1043,61 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
         key = ('mask_stats_packed', key_hw)
         if key not in self._jits:
             import os as _os
-            from regda_tpu.ops.resize import resize_bilinear_half_pixel
             nh, nw, ch, cw = key_hw
-            size = self.img_size
+            m_np = self._exact_stability_matrices(key_hw, self.img_size // 4)
+            m_h = jnp.asarray(m_np[0])                       # (ch, S)
+            m_wt = jnp.asarray(m_np[1].T)                    # (S, cw)
+            cw8 = -(-cw // 8) * 8
             weights = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
 
             if (jax.default_backend() == 'tpu'
                     and not _os.environ.get('REGDA_NO_PALLAS')):
                 from regda_tpu.models.sam.pallas_stats import mask_stats_fused
-                sy, sx = ch / nh, cw / nw
 
                 def stats_one_fused(logits, ok):
                     # ok gates per-slot work in the kernel: budget slots
-                    # past the real mask count skip their 1024^2 pass
+                    # past the real mask count skip their crop^2 pass
                     # (their outputs are garbage; every consumer is
                     # already ANDed with ok)
-                    packed, boxes_px, areas_px = mask_stats_fused(
-                        logits, size, nh, nw, active=ok)
-                    boxes = boxes_px * jnp.asarray(
-                        [sx, sy, sx, sy], jnp.float32)[None]
-                    return packed, boxes, areas_px * (sy * sx)
+                    return mask_stats_fused(logits, m_h, m_wt, ch, cw,
+                                            active=ok)
 
                 self._jits[key] = jax.jit(jax.vmap(stats_one_fused))
                 return self._jits[key]
 
+            hi = jax.lax.Precision.HIGHEST
+
             def stats_one(logits, ok):
                 del ok               # XLA twin computes every slot
-                x = resize_bilinear_half_pixel(logits[..., None],
-                                               (size, size))[..., 0]
-                masks = x > 0.0
-                m = masks[:, :nh, :nw]
+                x = logits.astype(jnp.float32)
+                y = jnp.einsum('hs,msw->mhw', m_h, x,
+                               preferred_element_type=jnp.float32,
+                               precision=hi)
+                y = jnp.einsum('mhw,wc->mhc', y, m_wt,
+                               preferred_element_type=jnp.float32,
+                               precision=hi)
+                m = y > 0.0                                   # (M, ch, cw)
                 rows = m.any(axis=2)
                 cols = m.any(axis=1)
-                ys = jnp.arange(nh)
-                xs = jnp.arange(nw)
-                y0 = jnp.min(jnp.where(rows, ys, nh), axis=1)
-                y1 = jnp.max(jnp.where(rows, ys, -1), axis=1) + 1
-                x0 = jnp.min(jnp.where(cols, xs, nw), axis=1)
-                x1 = jnp.max(jnp.where(cols, xs, -1), axis=1) + 1
-                sy, sx = ch / nh, cw / nw
-                boxes = jnp.stack([x0 * sx, y0 * sy, x1 * sx, y1 * sy], 1)
-                areas = m.sum(axis=(1, 2)) * (sy * sx)
-                mm, hh, ww = masks.shape
-                packed = (masks.astype(jnp.uint8).reshape(mm, hh, ww // 8, 8)
+                ys = jnp.arange(ch)
+                xs = jnp.arange(cw)
+                y0 = jnp.min(jnp.where(rows, ys, ch), axis=1)
+                y1 = jnp.max(jnp.where(rows, ys, -1), axis=1)
+                x0 = jnp.min(jnp.where(cols, xs, cw), axis=1)
+                x1 = jnp.max(jnp.where(cols, xs, -1), axis=1)
+                boxes = jnp.stack([x0, y0, x1, y1], 1).astype(jnp.float32)
+                empty = (y1 < y0) | (x1 < x0)
+                boxes = jnp.where(empty[:, None], 0.0, boxes)
+                areas = m.sum(axis=(1, 2)).astype(jnp.float32)
+                # pack to the kernel's padded layout ((8,128)-tiled rows)
+                chp = -(-ch // 8) * 8
+                cwp = -(-cw // 128) * 128
+                bits = jnp.pad(m.astype(jnp.uint8),
+                               ((0, 0), (0, chp - ch), (0, cwp - cw)))
+                mm = bits.shape[0]
+                packed = (bits.reshape(mm, chp, cwp // 8, 8)
                           * weights).sum(-1).astype(jnp.uint8)
-                return packed, boxes.astype(jnp.float32), areas
+                return packed, boxes, areas
 
             self._jits[key] = jax.jit(jax.vmap(stats_one))
         return self._jits[key]
@@ -1034,13 +1106,13 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
         """Batched max-paint from bit-packed masks."""
         key = ('paint_packed', paint_key)
         if key not in self._jits:
-            nh, nw, x0, y0, ch, cw = paint_key
+            x0, y0, ch, cw = paint_key
 
             def paint_one(canvas, packed, ids):
-                yi = ((jnp.arange(ch) + 0.5) * nh / ch).astype(jnp.int32)
-                xi = ((jnp.arange(cw) + 0.5) * nw / cw).astype(jnp.int32)
-                rows = packed[:, yi]                         # (M, ch, S/8)
-                byts = rows[:, :, xi // 8]                   # (M, ch, cw)
+                # packed bits are already at crop resolution (padded to
+                # the kernel tile grid); unpack the (ch, cw) window
+                xi = jnp.arange(cw)
+                byts = packed[:, :ch, xi // 8]               # (M, ch, cw)
                 bits = (byts >> (7 - (xi % 8)).astype(jnp.uint8)) & 1
                 contrib = jnp.max(
                     bits.astype(jnp.int32) * ids[:, None, None], axis=0)
@@ -1304,37 +1376,45 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
             t1 = _time.perf_counter()
         all_ids = []            # per tile: per position id vectors
         for ti in range(n_tiles):
-            cand = []
+            cand = []   # (ci, mask_idx, box_img, area, crop_score)
             for ci, (p, box) in enumerate(zip(pos_np, crop_boxes)):
-                valid = (p['ok'][ti] & (p['areas'][ti] >= area_threshold)
-                         & (p['areas'][ti] > 0))
+                b_all = p['boxes'][ti] + np.array(
+                    [box[0], box[1], box[0], box[1]], np.float32)
+                # upstream candidate set: iou/stability survivors minus
+                # boxes near the crop edge (not the image edge); the LRH
+                # area threshold gates PAINTING only — small anns keep
+                # their id slots and participate in NMS
+                valid = p['ok'][ti] & ~is_box_near_crop_edge(b_all, box,
+                                                             (h, w))
                 idxs = np.nonzero(valid)[0]
                 if not len(idxs):
                     continue
-                b = p['boxes'][ti][idxs] + np.array(
-                    [box[0], box[1], box[0], box[1]], np.float32)
                 scores = p['iou'][ti][idxs]
-                keep = nms_boxes(b, scores, self.box_nms_thresh)
+                keep = nms_boxes(b_all[idxs], scores, self.box_nms_thresh)
                 for k in keep:
-                    cand.append((ci, int(idxs[k]), b[k],
-                                 float(scores[k]) + layer_idxs[ci] * 1e-3))
+                    cand.append((ci, int(idxs[k]), b_all[idxs[k]],
+                                 float(p['areas'][ti][idxs[k]]),
+                                 _crop_nms_scores(box)))
             ids = [np.zeros(pos_np[ci]['ok'].shape[1], np.int32)
                    for ci in range(len(crop_boxes))]
             if cand:
                 boxes = np.stack([c[2] for c in cand])
-                scores = np.array([c[3] for c in cand])
+                scores = np.array([c[4] for c in cand])
+                # cross-crop NMS scored by 1/crop-area (upstream);
+                # single-crop: data order IS the per-crop keep order
                 order = (nms_boxes(boxes, scores, self.crop_nms_thresh)
-                         if len(crop_boxes) > 1 else np.argsort(-scores))
+                         if len(crop_boxes) > 1 else np.arange(len(cand)))
                 if len(order) >= _lrh_max_regions():
                     import warnings
                     warnings.warn(
                         f'{len(order)} regions survive NMS, >= LRH '
                         f'MAX_REGIONS ({_lrh_max_regions()}); keeping the '
-                        'highest-scoring within budget')
+                        'first within budget')
                     order = order[:_lrh_max_regions() - 1]
                 for gid, oi in enumerate(order):
-                    ci, mi, _, _ = cand[oi]
-                    ids[ci][mi] = gid + 1
+                    ci, mi, _, area, _ = cand[oi]
+                    if area >= area_threshold:
+                        ids[ci][mi] = gid + 1
             all_ids.append(ids)
 
         if timing:
@@ -1363,7 +1443,7 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
             sel[:len(used)] = used
             ids_sel = np.zeros((n_tiles, k), ids_ci.dtype)
             ids_sel[:, :len(used)] = ids_ci[:, used]
-            paint = self._paint_packed_fn((p['nh'], p['nw'], box[0], box[1],
+            paint = self._paint_packed_fn((box[0], box[1],
                                            p['ch'], p['cw']))
             canvases = paint(canvases, p['packed'][:, jnp.asarray(sel)],
                              jnp.asarray(ids_sel))

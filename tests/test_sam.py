@@ -351,33 +351,46 @@ def test_exact_stability_matrices_match_stepwise_chain(tiny_sam):
                                atol=1e-4)
 
 
+def _stats_reference(logits_np, m_h, m_wt, ch, cw):
+    """numpy reference for mask_stats_fused: composed resize -> binarize
+    at crop res -> INCLUSIVE boxes ([0,0,0,0] empty) + areas + padded
+    bit-pack."""
+    y = np.einsum('hs,msw->mhw', m_h, logits_np.astype(np.float32))
+    y = np.einsum('mhw,wc->mhc', y, m_wt)
+    masks = y > 0.0
+    chp, cwp = -(-ch // 8) * 8, -(-cw // 128) * 128
+    bits = np.zeros((len(masks), chp, cwp), np.uint8)
+    bits[:, :ch, :cw] = masks
+    packed = np.packbits(bits, axis=-1)
+    boxes, areas = [], []
+    for mm in masks:
+        ys, xs = np.nonzero(mm)
+        boxes.append([xs.min(), ys.min(), xs.max(), ys.max()]
+                     if ys.size else [0, 0, 0, 0])
+        areas.append(ys.size)
+    return (packed, np.asarray(boxes, np.float32),
+            np.asarray(areas, np.float32), masks)
+
+
 def test_mask_stats_fused_matches_xla_path():
     """pallas_stats.mask_stats_fused (interpret off-TPU) == the stepwise
-    XLA stats: half-pixel upscale -> threshold -> bit-pack + interior
-    box/area reductions."""
+    numpy reference: composed-matrix resize to CROP resolution ->
+    threshold -> bit-pack + inclusive box/area reductions (upstream
+    postprocess_masks + batched_mask_to_box semantics)."""
     from regda_tpu.models.sam.pallas_stats import mask_stats_fused
-    from regda_tpu.ops.resize import resize_bilinear_half_pixel
+    from regda_tpu.ops.resize import _interp_matrix_half_pixel
     rng = np.random.RandomState(0)
-    m, s, size = 5, 32, 128
-    nh, nw = 128, 96
-    logits = jnp.asarray(rng.randn(m, s, s).astype(np.float32))
-    packed, boxes, areas = mask_stats_fused(logits, size, nh, nw)
-
-    x = resize_bilinear_half_pixel(logits[..., None], (size, size))[..., 0]
-    masks = np.asarray(x) > 0.0
-    # packing
-    want_packed = np.packbits(masks.astype(np.uint8), axis=-1)
-    np.testing.assert_array_equal(np.asarray(packed), want_packed)
-    # interior boxes + areas
-    for i in range(m):
-        mm = masks[i][:nh, :nw]
-        ys, xs = np.nonzero(mm)
-        if ys.size:
-            want_box = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
-        else:
-            want_box = [nw, nh, 0, 0]
-        np.testing.assert_allclose(np.asarray(boxes[i]), want_box)
-        assert float(areas[i]) == float(mm.sum())
+    m, s = 5, 32
+    ch, cw = 100, 96
+    m_h = _interp_matrix_half_pixel(s, ch).astype(np.float32)
+    m_wt = _interp_matrix_half_pixel(s, cw).T.astype(np.float32)
+    logits = rng.randn(m, s, s).astype(np.float32)
+    packed, boxes, areas = mask_stats_fused(
+        jnp.asarray(logits), jnp.asarray(m_h), jnp.asarray(m_wt), ch, cw)
+    wp, wb, wa, _ = _stats_reference(logits, m_h, m_wt, ch, cw)
+    np.testing.assert_array_equal(np.asarray(packed), wp)
+    np.testing.assert_allclose(np.asarray(boxes), wb)
+    np.testing.assert_allclose(np.asarray(areas), wa)
 
 
 def test_region_generator_exact_stability_runs(tiny_sam):
@@ -813,12 +826,16 @@ def test_mask_stats_fused_active_gating():
     """Slots with active=False are skipped (garbage out); active slots
     must be bit-identical to the all-active run."""
     from regda_tpu.models.sam.pallas_stats import mask_stats_fused
+    from regda_tpu.ops.resize import _interp_matrix_half_pixel
     rng = np.random.RandomState(0)
     logits = jnp.asarray(rng.randn(6, 32, 32).astype(np.float32) * 3)
+    m_h = jnp.asarray(_interp_matrix_half_pixel(32, 100), jnp.float32)
+    m_wt = jnp.asarray(_interp_matrix_half_pixel(32, 96).T, jnp.float32)
     active = jnp.asarray(np.array([1, 0, 1, 1, 0, 1], np.int32))
-    pf, bf, af = mask_stats_fused(logits, 128, 100, 96, interpret=True)
-    pa, ba, aa = mask_stats_fused(logits, 128, 100, 96, interpret=True,
-                                  active=active)
+    pf, bf, af = mask_stats_fused(logits, m_h, m_wt, 100, 96,
+                                  interpret=True)
+    pa, ba, aa = mask_stats_fused(logits, m_h, m_wt, 100, 96,
+                                  interpret=True, active=active)
     idx = np.nonzero(np.asarray(active))[0]
     np.testing.assert_array_equal(np.asarray(pa)[idx], np.asarray(pf)[idx])
     np.testing.assert_array_equal(np.asarray(ba)[idx], np.asarray(bf)[idx])
@@ -829,14 +846,17 @@ def test_mask_stats_fused_active_vmapped():
     """The crop group vmaps the fused stats over positions with per-
     position active flags — interpret-mode parity vs per-position calls."""
     from regda_tpu.models.sam.pallas_stats import mask_stats_fused
+    from regda_tpu.ops.resize import _interp_matrix_half_pixel
     rng = np.random.RandomState(1)
     logits = jnp.asarray(rng.randn(3, 4, 32, 32).astype(np.float32) * 3)
+    m_h = jnp.asarray(_interp_matrix_half_pixel(32, 100), jnp.float32)
+    m_wt = jnp.asarray(_interp_matrix_half_pixel(32, 96).T, jnp.float32)
     active = jnp.asarray((rng.rand(3, 4) > 0.4).astype(np.int32))
-    fn = jax.vmap(lambda l, a: mask_stats_fused(l, 128, 100, 96,
+    fn = jax.vmap(lambda l, a: mask_stats_fused(l, m_h, m_wt, 100, 96,
                                                 interpret=True, active=a))
     pv, bv, av = fn(logits, active)
     for p in range(3):
-        pf, bf, af = mask_stats_fused(logits[p], 128, 100, 96,
+        pf, bf, af = mask_stats_fused(logits[p], m_h, m_wt, 100, 96,
                                       interpret=True)
         idx = np.nonzero(np.asarray(active[p]))[0]
         np.testing.assert_array_equal(np.asarray(pv[p])[idx],

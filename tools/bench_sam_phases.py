@@ -370,13 +370,18 @@ def main():
           'chunk')
 
     # ---------------- fused mask stats ------------------------------------
+    # crop0 frame of a 512 tile: composed (512, 256) resize matrices
     from regda_tpu.models.sam.pallas_stats import mask_stats_fused
     logits = jax.random.normal(ks[49], (256, 256, 256), dt) * 4
+    u_st = _interp_matrix_half_pixel(256, 1024)[:1024]
+    mh_st = jnp.asarray((_interp_matrix_half_pixel(1024, 512) @ u_st
+                         ).astype(np.float32))
+    mwt_st = jnp.asarray(np.asarray(mh_st).T)
 
     @jax.jit
     def st_fn(logits, s):
         packed, boxes, areas = mask_stats_fused(
-            logits + s.astype(logits.dtype), 1024, 1024, 1024)
+            logits + s.astype(logits.dtype), mh_st, mwt_st, 512, 512)
         return packed, jnp.float32(jnp.sum(boxes[0]) + jnp.sum(areas[:2]))
 
     per = chain_time(st_fn, logits, max(2, args.iters // 2))

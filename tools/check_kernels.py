@@ -134,27 +134,34 @@ def main():
           np.asarray(gotg) * (~m_act), np.zeros_like(np.asarray(want)),
           0.0, 1e-12)
 
-    # ---- 5b. fused mask statistics (upscale+threshold+pack+box) --------
+    # ---- 5b. fused mask statistics (crop-res resize+threshold+pack+box)
     from regda_tpu.models.sam.pallas_stats import mask_stats_fused
-    from regda_tpu.ops.resize import resize_bilinear_half_pixel
-    ms, slow, size = (8, 64, 256) if args.quick else (64, 256, 1024)
-    nh2, nw2 = size, size * 3 // 4
+    from regda_tpu.ops.resize import _interp_matrix_half_pixel
+    ms, slow = (8, 64) if args.quick else (64, 256)
+    ch2, cw2 = ((128, 96) if args.quick else (512, 384))
+    mh2 = _interp_matrix_half_pixel(slow, ch2).astype(np.float32)
+    mwt2 = _interp_matrix_half_pixel(slow, cw2).T.astype(np.float32)
     lg = jnp.asarray(rng.randn(ms, slow, slow).astype(np.float32))
-    packed, boxes, areas = mask_stats_fused(lg, size, nh2, nw2,
+    packed, boxes, areas = mask_stats_fused(lg, jnp.asarray(mh2),
+                                            jnp.asarray(mwt2), ch2, cw2,
                                             interpret=not on_tpu)
-    xs_ = resize_bilinear_half_pixel(lg[..., None], (size, size))[..., 0]
-    masks_w = np.asarray(xs_) > 0.0
     # exact: the stats kernel computes its resize at HIGHEST precision,
-    # matching ops/resize.py's 'highest' einsums bit-for-bit
-    check('mask_stats packed bits', np.asarray(packed),
-          np.packbits(masks_w.astype(np.uint8), axis=-1), 0, 0.5)
+    # matching the f32 numpy composition bit-for-bit
+    y_w = np.einsum('hs,msw->mhw', mh2, np.asarray(lg))
+    y_w = np.einsum('mhw,wc->mhc', y_w, mwt2)
+    masks_w = y_w > 0.0
+    chp2, cwp2 = -(-ch2 // 8) * 8, -(-cw2 // 128) * 128
+    bits_w = np.zeros((ms, chp2, cwp2), np.uint8)
+    bits_w[:, :ch2, :cw2] = masks_w
+    want_packed = np.packbits(bits_w, axis=-1)
+    check('mask_stats packed bits', np.asarray(packed), want_packed,
+          0, 0.5)
     want_boxes, want_areas = [], []
     for i in range(ms):
-        mm = masks_w[i][:nh2, :nw2]
+        mm = masks_w[i]
         ys2, xs2 = np.nonzero(mm)
-        want_boxes.append([xs2.min(), ys2.min(), xs2.max() + 1,
-                           ys2.max() + 1] if ys2.size
-                          else [nw2, nh2, 0, 0])
+        want_boxes.append([xs2.min(), ys2.min(), xs2.max(), ys2.max()]
+                          if ys2.size else [0, 0, 0, 0])
         want_areas.append(mm.sum())
     check('mask_stats boxes', boxes, np.asarray(want_boxes, np.float32),
           0, 0.5)
@@ -165,12 +172,14 @@ def main():
     # documented garbage, so only active rows are compared). Like 4b the
     # flags ride SMEM — chip-only lowering rules apply.
     act_s = jnp.asarray((np.arange(ms) % 2).astype(np.int32))
-    packed_g, boxes_g, areas_g = mask_stats_fused(lg, size, nh2, nw2,
+    packed_g, boxes_g, areas_g = mask_stats_fused(lg, jnp.asarray(mh2),
+                                                  jnp.asarray(mwt2), ch2,
+                                                  cw2,
                                                   interpret=not on_tpu,
                                                   active=act_s)
     rows = np.asarray(act_s, bool)
     check('mask_stats active-gated bits', np.asarray(packed_g)[rows],
-          np.packbits(masks_w.astype(np.uint8), axis=-1)[rows], 0, 0.5)
+          want_packed[rows], 0, 0.5)
     check('mask_stats active-gated boxes', np.asarray(boxes_g)[rows],
           np.asarray(want_boxes, np.float32)[rows], 0, 0.5)
     check('mask_stats active-gated areas', np.asarray(areas_g)[rows],
