@@ -34,7 +34,9 @@ def main():
     variables = model.init({'params': jax.random.PRNGKey(0)},
                            jnp.zeros((1, 1024, 1024, 3)),
                            jnp.zeros((1, 1, 2)), jnp.ones((1, 1), jnp.int32))
-    pb = int(os.environ.get('BENCH_SAM_PB', '128'))
+    # 256-prompt chunks measured 3.75 vs 3.64 tiles/s at 128 on v5e
+    # (round-4 A/B): larger chunks amortize kernel launches + XLA glue
+    pb = int(os.environ.get('BENCH_SAM_PB', '256'))
     gen = SamRegionGenerator(model, variables, points_per_side=32,
                              points_per_batch=pb,
                              pred_iou_thresh=0.90,

@@ -203,7 +203,7 @@ def _crop_nms_scores(crop_box) -> float:
 
 class SamAutomaticMaskGenerator:
     def __init__(self, model: Sam, variables, points_per_side: int = 32,
-                 points_per_batch: int = 64, pred_iou_thresh: float = 0.88,
+                 points_per_batch: int = 256, pred_iou_thresh: float = 0.88,
                  stability_score_thresh: float = 0.95,
                  stability_score_offset: float = 1.0,
                  box_nms_thresh: float = 0.7, crop_n_layers: int = 0,

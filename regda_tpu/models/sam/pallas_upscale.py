@@ -43,19 +43,40 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _erf(x):
-    """erf via Abramowitz & Stegun 7.1.26 (|err| <= 1.5e-7)."""
-    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
-    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + p * ax)
-    y = 1.0 - ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t * jnp.exp(
-        -ax * ax)
-    return jnp.sign(x) * y
+    """erf as the odd rational x * A(x^2)/B(x^2) on |x| <= 4 (erf
+    saturates to +-1 beyond, f32-exactly) — XLA's own f32 ErfImpl
+    approximation (|err| <= ~7e-7 vs true erf, well under every
+    downstream tolerance). Replaces the A&S 7.1.26 form, whose exp +
+    divide chain cost ~2.5 ms per 128-prompt mask-head chunk on v5e
+    (XProf/phase-bench, PERF.md round 4); this form has ONE divide and
+    no transcendental."""
+    x = jnp.clip(x, -4.0, 4.0)
+    z = x * x
+    alpha = (0.00022905065861350646, 0.0034082910107109506,
+             0.050955695062380861, 0.18520832239976145, 1.128379143519084)
+    beta = (-1.1791602954361697e-7, 0.000023547966471313185,
+            0.0010179625278914885, 0.014070470171167667,
+            0.11098505178285362, 0.49746925110067538, 1.0)
+    a = jnp.full_like(z, alpha[0])
+    for c in alpha[1:]:
+        a = a * z + c
+    b = jnp.full_like(z, beta[0])
+    for c in beta[1:]:
+        b = b * z + c
+    # the full-precision divide dominated this erf's VPU cost; hardware
+    # approximate reciprocal + ONE Newton step gives ~2^-24 relative
+    # error on b in [1, ~5.4] — far below the approximation's own 7e-7
+    try:
+        r = pl.reciprocal(b, approx=True)
+        r = r * (2.0 - b * r)
+    except Exception:
+        r = 1.0 / b
+    return x * a * r
 
 
 def _gelu_exact(x):
     """gelu in its erf form: 0.5*x*(1+erf(x/sqrt(2))). Internals in f32
-    (Mosaic rejects bf16 compares; the A&S polynomial wants f32 anyway)."""
+    (Mosaic rejects bf16 compares; the rational wants f32 anyway)."""
     xf = x.astype(jnp.float32)
     return (0.5 * xf * (1.0 + _erf(xf * (2.0 ** -0.5)))).astype(x.dtype)
 

@@ -66,10 +66,16 @@ def _build(what: str, iters: int):
 
         return fn, (gen.variables, emb, pts)
     if what == 'seg':
-        from regda_tpu.models.deeplabv2 import Deeplabv2
-        model = Deeplabv2.reference_config(num_classes=6)
+        # the bench.py configuration: ResNet-101 DeepLabv2 eval forward,
+        # BN pre-folded (the deployed SegInferencer graph), batch 16
+        from regda_tpu.models import build_deeplabv2
+        from regda_tpu.models.fold_bn import fold_batchnorm_jit, folded_model
+        model = build_deeplabv2('ResNet101', num_classes=6, dtype=dt)
         x = jax.random.normal(key, (16, 512, 512, 3), dt)
-        v = model.init({'params': key}, x[:1], train=False)
+        v = model.init({'params': key}, jnp.zeros((1, 512, 512, 3)),
+                       train=False)
+        model = folded_model(model)
+        v = fold_batchnorm_jit(v)
 
         @jax.jit
         def fn(v, x, s):
@@ -82,7 +88,15 @@ def _build(what: str, iters: int):
 
 def _op_table(logdir: str):
     """Parse the captured xplane into (op_name, category, self_us) rows."""
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rttd
+    # the pre-built protobuf stubs in this image predate protobuf 4's
+    # generated-code check; the pure-python implementation sidesteps it
+    os.environ.setdefault('PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION',
+                          'python')
+    try:
+        from xprof.convert import raw_to_tool_data as rttd
+    except ImportError:
+        from tensorboard_plugin_profile.convert import (
+            raw_to_tool_data as rttd)
     paths = glob.glob(os.path.join(logdir, '**', '*.xplane.pb'),
                       recursive=True)
     assert paths, f'no xplane.pb under {logdir}'
@@ -136,30 +150,36 @@ def main():
     except json.JSONDecodeError:
         print(raw[:4000])
         return
-    # tensorboard's DataTable JSON: [ {cols, rows}, ... ] — first entry is
-    # the device table
+    # tensorboard DataTable JSON: first entry is the op table; keep
+    # Device rows only
     dev = table[0] if isinstance(table, list) else table
     cols = [c['label'] for c in dev['cols']]
-    rows = [[c['v'] for c in r['c']] for r in dev['rows']]
-    i_name = cols.index('Operation')
-    i_self = next(i for i, c in enumerate(cols) if 'self-time' in c.lower()
-                  or 'Self time' in c)
-    i_cat = cols.index('Type') if 'Type' in cols else None
+    rows = [[c.get('v') for c in r['c']] for r in dev['rows']]
+    i_name = cols.index('Operation Name')
+    i_cat = cols.index('Operation Type')
+    i_self = cols.index('Total self-time (us)')
+    i_hd = cols.index('Host/device')
+    i_occ = cols.index('#Occurrences')
+    rows = [r for r in rows if r[i_hd] == 'Device']
     rows.sort(key=lambda r: -(r[i_self] or 0))
     total = sum(r[i_self] or 0 for r in rows)
-    mm = sum((r[i_self] or 0) for r in rows
-             if i_cat is not None and ('dot' in str(r[i_cat]).lower()
-                                       or 'conv' in str(r[i_cat]).lower()))
-    print(f'total device self-time: {total * 1e3:.3f} ms '
-          f'({total * 1e3 / args.iters:.3f} ms/iter)')
-    if i_cat is not None:
-        print(f'matmul/conv share: {mm / max(total, 1e-9) * 100:.1f}%')
-    print(f'{"self ms/iter":>12}  {"%":>5}  op')
+    print(f'total device self-time: {total / 1e3:.3f} ms '
+          f'({total / 1e3 / args.iters:.3f} ms/iter)')
+    agg = {}
+    for r in rows:
+        agg.setdefault(r[i_cat], [0, 0])
+        agg[r[i_cat]][0] += r[i_self] or 0
+        agg[r[i_cat]][1] += int(r[i_occ] or 0)
+    print('--- by op type (ms/iter) ---')
+    for t, (s_us, occ) in sorted(agg.items(), key=lambda kv: -kv[1][0]):
+        print(f'{s_us / 1e3 / args.iters:8.3f}  {s_us / total * 100:5.1f}%'
+              f'  x{occ:5d}  {t}')
+    print(f'--- top ops ---')
     for r in rows[:args.top]:
-        st = (r[i_self] or 0) * 1e3 / args.iters
+        st = (r[i_self] or 0) / 1e3 / args.iters
         pct = (r[i_self] or 0) / max(total, 1e-9) * 100
-        cat = f' [{r[i_cat]}]' if i_cat is not None else ''
-        print(f'{st:12.3f}  {pct:5.1f}  {r[i_name]}{cat}')
+        print(f'{st:8.3f}  {pct:5.1f}%  [{r[i_cat]}] '
+              f'{str(r[i_name])[:95]}')
 
 
 if __name__ == '__main__':
