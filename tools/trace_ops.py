@@ -53,11 +53,11 @@ def _build(what: str, iters: int):
             {'params': key}, jnp.zeros((1, 1024, 1024, 3)),
             jnp.zeros((1, 1, 2)), jnp.ones((1, 1), jnp.int32))
         gen = SamAutomaticMaskGenerator(
-            model, variables, points_per_side=32, points_per_batch=128,
+            model, variables, points_per_side=32, points_per_batch=256,
             pred_iou_thresh=0.90, stability_score_thresh=0.95)
         dec = gen._decode_fn((512, 512, 512, 512))
         emb = jax.random.normal(key, (1, 64, 64, 256), jnp.float32)
-        pts = jax.random.uniform(key, (128, 2), jnp.float32) * 512
+        pts = jax.random.uniform(key, (256, 2), jnp.float32) * 512
 
         @jax.jit
         def fn(variables, emb, pts, s):
