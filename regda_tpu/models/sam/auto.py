@@ -333,7 +333,17 @@ class SamAutomaticMaskGenerator:
         # tests drive the same code path the chip runs
         stabk_blocked = exact and stab_env
         blocked = self._blocked_masks()
-        key = ('decode', key_hw if exact else None, gate, stabk, blocked)
+        # the two-way kernel choice and its LN-dtype knob are read at
+        # TRACE time inside mask_decoder_fast / two_way_fused; key them
+        # here too so toggling the env vars between generate() calls in
+        # one process re-traces instead of silently reusing the stale
+        # compiled decode (ADVICE r4: the gate/stabk flags already did
+        # this, the two-way flags didn't)
+        twoway_env = (_os.environ.get('REGDA_FUSED_TWOWAY', ''),
+                      _os.environ.get('REGDA_NO_TWOWAY', ''),
+                      _os.environ.get('REGDA_TWOWAY_LN_DT', ''))
+        key = ('decode', key_hw if exact else None, gate, stabk, blocked,
+               twoway_env)
         if key not in self._jits:
             off = self.stability_score_offset
             dt = self.compute_dtype

@@ -71,7 +71,7 @@ WKEYS = ('wo0', 'bo0', 'n40w', 'n40b',
 
 
 def _twoway_body(ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
-                 keys0_ref, pe_ref, qimg0_ref,
+                 keys0_ref, pe_ref, qimg0_ref, keys0_mu_ref,
                  colmask_ref, rowmask_ref, maskb_ref,
                  wrefs,
                  *, num_heads: int, head_dim: int, ln_dt: bool = False,
@@ -131,16 +131,20 @@ def _twoway_body(ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
         return jnp.dot(a.astype(f32), b.astype(f32),
                        preferred_element_type=f32)
 
-    def ln_mxu(x, w, b, eps=EPS):
+    def ln_mxu(x, w, b, eps=EPS, mu=None):
         # LayerNorm over C lanes for the hot (T, C) key states. The stock
         # lane reductions (jnp.mean over 2*128 lanes) cost ~8 VPU passes
         # each; here both moments are MXU ones-dots (f32 accumulation) and
         # the VPU only runs the cheap elementwise chain. x is f32.
+        # Callers that can derive the row means more cheaply (by folding
+        # the mean through the producing attention dot) pass mu (T, 128)
+        # and skip this function's full-width mean dot.
         c = x.shape[-1]
         reps = c // 128
         ones_mu = jnp.full((c, 128), 1.0 / c, dt)
         xb = x.astype(dt)
-        mu = jnp.dot(xb, ones_mu, preferred_element_type=f32)  # (T, 128)
+        if mu is None:
+            mu = jnp.dot(xb, ones_mu, preferred_element_type=f32)  # (T,128)
         # var = E[x^2] - mu^2 on the COMPACT (T, 128) moments: one wide
         # x*x pass replaces the centered chain's wide subtract + cast +
         # square (3 passes); the cancellation the centered form avoids is
@@ -202,7 +206,17 @@ def _twoway_body(ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
     vrow0 = (dot32(block_rows(vt0), wo0_ref[...])
              + bo0_ref[0][None, :].astype(f32) * (1.0 / h))
     x1 = dot(attn0, vrow0) + keys0_ref[...].astype(jnp.float32)
-    keys1 = ln_mxu(x1, n40w_ref[0][None, :], n40b_ref[0][None, :]).astype(dt)
+    # LN mean folded through the attention dot: mean_c(attn0 @ vrow0 +
+    # keys0) = attn0 @ mean_c(vrow0) + mean_c(keys0). The keys0 term is
+    # prompt-shared and hoisted outside the kernel (keys0_mu input); the
+    # vrow0 term is a (H*NP, 128) reduction — together they replace the
+    # (T, C) x (C, 128) full-width mean dot with a (T, H*NP) x (H*NP, 128)
+    # one (C/H*NP = 4x fewer MACs on the serial chain).
+    c_keys = keys0_ref.shape[-1]
+    vrow0_mu = dot32(vrow0, jnp.full((c_keys, 128), 1.0 / c_keys, f32))
+    mu1 = dot32(attn0, vrow0_mu) + keys0_mu_ref[...]
+    keys1 = ln_mxu(x1, n40w_ref[0][None, :], n40b_ref[0][None, :],
+                   mu=mu1).astype(dt)
     pe = pe_ref[...]
 
     # ---------------- layer 1: token-to-image (query side) -------------
@@ -211,11 +225,14 @@ def _twoway_body(ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
     qtok = dot(q1 + qpe, wqt_ref[...]) + bqt_ref[0][None, :].astype(f32)
     qblk = block_cols(qtok.astype(dt))                  # (D, H*NP)
     e1 = dot(wkt_ref[...], qblk)                        # (C, H*NP) f32
-    brow = dot(bkt_ref[...], qblk)                      # (1, H*NP)
-    # pe-add folded into the logits matmul: (keys1+pe) @ e1 becomes two
-    # dots, trading a (T, C) VPU add + buffer for an MXU matmul
-    logits_t = (dot(keys1, e1.astype(dt)) + dot(pe, e1.astype(dt))
-                + brow) * scale
+    # k-bias term (bkt @ qblk) dropped: it adds a per-COLUMN constant to
+    # logits that softmax_t (normalizing over T) cancels exactly. The
+    # pe-add runs as one (T, C) VPU add shared by this layer's t2i AND
+    # i2t logits — round 4 folded it into two extra (T, C) x (C, H*NP)
+    # dots instead, but the dots cost 2 x 134 MF of serial MXU time per
+    # prompt vs one ~1M-lane add (measured faster this way in round 5).
+    k1pe = keys1 + pe
+    logits_t = dot(k1pe, e1.astype(dt)) * scale
     attn_t = softmax_t(logits_t)                        # (T, H*NP) f32
     u = dot_t(attn_t, keys1)                            # (H*NP, C) f32
     o_full = dot(u, wvt_ref[...])                       # (H*NP, D) f32
@@ -234,8 +251,9 @@ def _twoway_body(ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
     kblk = block_cols(ktok1.astype(dt))
     f1 = dot(wqi_ref[...], kblk)                        # (C, H*NP)
     browi = dot(bqi_ref[...], kblk)
-    logits_i = (dot(keys1, f1.astype(dt)) + dot(pe, f1.astype(dt))
-                + browi) * scale
+    # browi does NOT cancel here: softmax_groups normalizes over token
+    # columns within each head group, where the bias varies
+    logits_i = (dot(k1pe, f1.astype(dt)) + browi) * scale
     attn_i = softmax_groups(logits_i)
     # same out-projection/bias fold as layer 0
     vrow1 = (dot32(block_rows(vtok1.astype(dt)), woi_ref[...])
@@ -248,9 +266,8 @@ def _twoway_body(ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
     qtokf = dot(qp3, wqf_ref[...]) + bqf_ref[0][None, :].astype(f32)
     qblkf = block_cols(qtokf.astype(dt))
     ef = dot(wkf_ref[...], qblkf)
-    browf = dot(bkf_ref[...], qblkf)
-    logits_f = (dot(keys2, ef.astype(dt)) + dot(pe, ef.astype(dt))
-                + browf) * scale
+    # k-bias (bkf) cancels in softmax_t, pe-add shared as above
+    logits_f = dot(keys2 + pe, ef.astype(dt)) * scale
     attn_f = softmax_t(logits_f)
     uf = dot_t(attn_f, keys2)
     of = dot(uf, wvf_ref[...])
@@ -261,15 +278,15 @@ def _twoway_body(ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
 
 
 def _kernel(ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
-            keys0_ref, pe_ref, qimg0_ref,
+            keys0_ref, pe_ref, qimg0_ref, keys0_mu_ref,
             colmask_ref, rowmask_ref, maskb_ref,
             *rest,
             num_heads: int, head_dim: int, ln_dt: bool = False):
     *wrefs, keys2_out_ref, qout_ref = rest
     keys2, qfin = _twoway_body(
         ktok0_ref, vtok0_ref, q1_ref, qpe_ref, keys0_ref, pe_ref,
-        qimg0_ref, colmask_ref, rowmask_ref, maskb_ref, wrefs,
-        num_heads=num_heads, head_dim=head_dim, ln_dt=ln_dt)
+        qimg0_ref, keys0_mu_ref, colmask_ref, rowmask_ref, maskb_ref,
+        wrefs, num_heads=num_heads, head_dim=head_dim, ln_dt=ln_dt)
     keys2_out_ref[0] = keys2
     qout_ref[0] = qfin.astype(keys2.dtype)
 
@@ -405,13 +422,19 @@ def _twoway_fwd_impl(operands, num_heads: int = 8,
         weight_ops.append(arr)
         weight_specs.append(const(arr.shape))
 
+    # prompt-shared keys0 row means, hoisted for the kernel's folded-mean
+    # layer-0 LN (computed once here in XLA vs a 268 MF dot per program)
+    keys0_mu = jnp.broadcast_to(
+        jnp.mean(keys0.astype(dt).astype(f32), axis=-1, keepdims=True),
+        (t, 128))
     operands_flat = [ktok0.astype(dt), vtok0.astype(dt), q1.astype(dt),
                      qpe.astype(dt), keys0.astype(dt), pe.astype(dt),
-                     qimg0.astype(dt), colmask, rowmask,
+                     qimg0.astype(dt), keys0_mu, colmask, rowmask,
                      maskb.astype(f32)] + weight_ops
     in_specs = ([per_prompt((NP, d)), per_prompt((NP, d)),
                  per_prompt((NP, c)), per_prompt((NP, c)),
                  const((t, c)), const((t, c)), const((t, d)),
+                 const((t, 128)),
                  const(colmask.shape), const(rowmask.shape),
                  const((1, NP))] + weight_specs)
 

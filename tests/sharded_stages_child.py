@@ -161,6 +161,49 @@ def main(n_devices: int) -> None:
         print(f'halo eval fwd @ {HW2}px spatial={mesh.shape["spatial"]}: '
               'sharded == unsharded OK', flush=True)
 
+        # ...and the GRADIENT-side halo: one stage-1 TRAIN step at 128 px
+        # with H sharded (spatial=2). The eval-forward check above can't
+        # see the transposed-conv halo exchanges of the backward pass, and
+        # the 32-px train steps don't exercise multi-tile halos; assert
+        # loss AND the applied update (params delta norm, a pure function
+        # of the gradients) match the unsharded step (VERDICT r4 weak #6).
+        block2 = rng.integers(0, C, size=(2, 2, 2)).astype(np.int32)
+        lh = np.kron(block2, np.ones((HW2 // 2, HW2 // 2), np.int32))
+        # the poly-warmup schedule's LR is 0 at step 0, which would make
+        # the update (and this check) vacuously zero — use a plain SGD tx
+        # so the applied update is a nonzero pure function of the grads
+        import optax
+        tx_h = optax.chain(optax.clip_by_global_norm(32.0),
+                           optax.sgd(1e-2))
+        state0h = create_train_state(model, tx_h, jax.random.PRNGKey(0),
+                                     input_shape=(1, HW, HW, 3),
+                                     num_classes=C, feat_dim=512)
+        stateh = jax.device_put(state0h, replicated_sharding(mesh))
+        step1h = jax.jit(make_stage1_step(model, tx_h, num_classes=C))
+        su, mu_ = step1h(state0h, jnp.asarray(xh), jnp.asarray(lh),
+                         jnp.asarray(xh))
+        hbatch = shard_batch(mesh, dict(x=xh, l=lh), spatial=True)
+        with mesh:
+            ss, ms_ = step1h(stateh, hbatch['x'], hbatch['l'], hbatch['x'])
+        np.testing.assert_allclose(float(ms_['total']), float(mu_['total']),
+                                   rtol=1e-4)
+
+        def delta_norm(new_params, old_params):
+            sq = jax.tree.map(
+                lambda a, b: jnp.sum(
+                    (a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2),
+                new_params, old_params)
+            return float(jnp.sqrt(sum(jax.tree.leaves(sq))))
+
+        dn_u = delta_norm(su.params, state0h.params)
+        assert dn_u > 1e-6, 'halo train step applied a ZERO update'
+        with mesh:
+            dn_s = delta_norm(ss.params, stateh.params)
+        np.testing.assert_allclose(dn_s, dn_u, rtol=1e-3)
+        print(f'halo TRAIN step @ {HW2}px spatial={mesh.shape["spatial"]}: '
+              f'loss {float(ms_["total"]):.4f} == {float(mu_["total"]):.4f}, '
+              f'|dparams| {dn_s:.5f} == {dn_u:.5f} OK', flush=True)
+
     print(f'sharded_stages_child({n_devices}): mesh={dict(mesh.shape)} OK')
 
 

@@ -12,6 +12,16 @@ offsets fails loudly.
 Everything runs f32 (model + postproc) so filter decisions are
 deterministic; the repo's Pallas kernels run in interpret mode on CPU —
 the same code path the chip executes.
+
+Bounded-deviation note (ADVICE r4): the fused mask head's gelu uses the
+rational-erf form (|err| ~7e-7 vs exact erf; pallas_upscale.py:70), so a
+mask logit within ~1e-6 of zero can in principle binarize differently
+between the fused path and this oracle's exact-erf math. The identity
+assertions below are therefore run at deliberately PINNED seeds
+(`_tile(seed=3/11)`, PRNGKey(0) weights) where no logit sits inside that
+band — a seed/weights bump that lands a boundary pixel there would be a
+test artifact of the documented approximation, not a postproc parity
+break — re-pin the seed rather than loosen the identity assertions.
 """
 
 import numpy as np

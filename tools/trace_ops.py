@@ -83,6 +83,32 @@ def _build(what: str, iters: int):
             return jnp.float32(jnp.sum(out[0, 0, 0, :2]))
 
         return fn, (v, x)
+    if what == 'everything':
+        # the FULL bench_sam.py path (generate_regions_batch at default
+        # flags: crop_n_layers=1, exact stability, gate on, pb=256): one
+        # host-driven batch per "iteration" traced end-to-end, so the op
+        # rollup shows how the real per-tile device budget splits across
+        # encode / two-way / mask head / stability / stats / paint —
+        # including the budget-skip's actual effect, which the isolated
+        # phase benches can't see
+        from regda_tpu.models.sam import Sam, SamRegionGenerator
+        model = Sam(vit_config='vit_b')
+        variables = model.init(
+            {'params': key}, jnp.zeros((1, 1024, 1024, 3)),
+            jnp.zeros((1, 1, 2)), jnp.ones((1, 1), jnp.int32))
+        gen = SamRegionGenerator(
+            model, variables, points_per_side=32, points_per_batch=256,
+            pred_iou_thresh=0.90, stability_score_thresh=0.95,
+            crop_n_layers=1, crop_n_points_downscale_factor=2)
+        rng = np.random.RandomState(0)
+        tiles = [rng.randint(0, 255, (512, 512, 3), np.uint8)
+                 for _ in range(8)]
+
+        def fn(_tiles, s):
+            gen.generate_regions_batch(_tiles)
+            return s
+
+        return fn, (tiles,)
     raise SystemExit(f'unknown --what {what}')
 
 
@@ -113,7 +139,7 @@ def _op_table(logdir: str):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--what', default='encode',
-                    choices=('encode', 'decode', 'seg'))
+                    choices=('encode', 'decode', 'seg', 'everything'))
     ap.add_argument('--iters', type=int, default=5)
     ap.add_argument('--top', type=int, default=30)
     ap.add_argument('--logdir', default='/tmp/regda_trace')
