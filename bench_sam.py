@@ -55,14 +55,37 @@ def main():
         for _ in range(iters):
             gen.generate_regions_batch(tiles)
     else:
+        depth = int(os.environ.get('BENCH_SAM_DEPTH', '2'))
         for _ in gen.generate_regions_stream(
-                (tiles for _ in range(iters))):
+                (tiles for _ in range(iters)), depth=depth):
             pass
     dt = time.perf_counter() - t0
     tps = iters * batch / dt
-    print(json.dumps({'metric': 'sam_region_gen_tiles_per_sec_per_chip',
-                      'value': round(tps, 3), 'unit': 'tiles/s',
-                      'crop_n_layers': crop_layers}))
+    line = {'metric': 'sam_region_gen_tiles_per_sec_per_chip',
+            'value': round(tps, 3), 'unit': 'tiles/s',
+            'crop_n_layers': crop_layers}
+    print(json.dumps(line))
+    # per-round machine-readable artifact (VERDICT r4 item 7): append this
+    # run to BENCH_SAM_OUT (e.g. runs/bench_sam_r5.json) with the flag
+    # set, so the crop-1 trajectory is a committed record, not prose
+    out = os.environ.get('BENCH_SAM_OUT')
+    if out:
+        import datetime
+        rec = dict(line, points_per_batch=pb, tile_batch=batch,
+                   iters=iters, exact_stability=True, iou_gate=True,
+                   date=datetime.datetime.now().strftime('%Y-%m-%d'))
+        runs = []
+        if os.path.exists(out):
+            with open(out) as f:
+                data = json.load(f)
+            runs = data.get('runs', [])
+        runs.append(rec)
+        vals = [r['value'] for r in runs]
+        with open(out, 'w') as f:
+            json.dump({'metric': line['metric'], 'unit': 'tiles/s',
+                       'runs': runs,
+                       'mean': round(sum(vals) / len(vals), 3),
+                       'n': len(vals)}, f, indent=1)
 
 
 if __name__ == '__main__':
