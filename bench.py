@@ -61,11 +61,16 @@ def main():
     # iteration to execute serially on device. `variables` must be a jit
     # ARGUMENT — closing over it embeds the weights as HLO constants and
     # the remote-compile request blows the tunnel's size limit (HTTP 413).
+    # the timed forward is the DEPLOYED eval graph (models/fused_eval.py):
+    # fused dual-head PPM conv on the folded model (+~1% on v5e, round 5;
+    # REGDA_NO_FUSED_PPM=1 reverts), stock model.apply otherwise — same
+    # math regrouped, like the round-3 BN folding
+    from regda_tpu.models.fused_eval import eval_forward
+
     @jax.jit
     def run(variables, image):
         def step(img, _):
-            probs = model.apply(variables, img,
-                                train=False).astype(jnp.float32)
+            probs = eval_forward(model, variables, img).astype(jnp.float32)
             return img + probs[..., :3] * 1e-6, ()
         y, _ = jax.lax.scan(step, image, None, length=iters)
         return y

@@ -56,7 +56,11 @@ class SegInferencer:
         def apply_probs(variables, x):
             if self.compute_dtype is not None:
                 x = x.astype(self.compute_dtype)
-            out = self.model.apply(variables, x, train=False)
+            # deployed-graph eval: the fused dual-head PPM forward when the
+            # model supports it (models/fused_eval.py, +~1% on v5e;
+            # REGDA_NO_FUSED_PPM=1 reverts), else stock apply
+            from regda_tpu.models.fused_eval import eval_forward
+            out = eval_forward(self.model, variables, x)
             return out.astype(jnp.float32)
 
         def fn(variables, image):

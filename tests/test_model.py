@@ -167,6 +167,34 @@ def test_fold_bn_matches_unfolded_eval():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_fused_dual_ppm_eval_matches_stock():
+    """models/fused_eval.py: the fused dual-head PPM forward (one N=1024
+    conv for both heads' shared-feature half) equals the stock folded
+    eval forward up to float regrouping."""
+    from regda_tpu.models.fold_bn import fold_batchnorm, folded_model
+    from regda_tpu.models.fused_eval import (fused_dual_ppm_eval,
+                                             supports_fused_heads)
+
+    model = build_deeplabv2('resnet18', num_classes=6)
+    rng = np.random.default_rng(9)
+    x0 = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    variables = model.init({'params': jax.random.PRNGKey(5)}, x0[:1],
+                           train=False)
+    _, upd = model.apply(
+        variables, x0, train=True, mutable=['batch_stats'],
+        rngs={'dropout': jax.random.PRNGKey(0)})
+    variables = {'params': variables['params'], **upd}
+
+    fmodel = folded_model(model)
+    fvars = fold_batchnorm(variables)
+    assert supports_fused_heads(fmodel)
+    assert not supports_fused_heads(model)    # train/unfolded: stock path
+    want = np.asarray(fmodel.apply(fvars, x0, train=False))
+    got = np.asarray(jax.jit(
+        lambda v, x: fused_dual_ppm_eval(fmodel, v, x))(fvars, x0))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_seg_inferencer_folds_by_default():
     """SegInferencer applies BN folding by default and predicts the same
     probabilities as the unfolded model."""

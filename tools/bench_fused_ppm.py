@@ -64,7 +64,7 @@ def main():
                    train=False)
     model = folded_model(model)
     v = fold_batchnorm_jit(v)
-    x = jax.random.normal(key, (args.batch, 512, 512, 3), dt)
+    x = jax.random.normal(key, (args.batch, 512, 512, 3), jnp.float32)
 
     enc = ResNetEncoder(model.resnet_type, model.output_stride,
                         folded=True, dtype=dt)
@@ -117,15 +117,22 @@ def main():
         return (jax.nn.softmax(x1, axis=-1)
                 + jax.nn.softmax(x2, axis=-1)) / 2
 
-    @jax.jit
-    def stock_fn(variables, img, s):
-        out = model.apply(variables, img + s.astype(dt), train=False)
-        return jnp.float32(jnp.sum(out[:, ::64, ::64]))
+    # bench.py's exact timing protocol: `iters` forwards scanned inside ONE
+    # jit (probs feed back into the input so device execution serializes),
+    # then `chain` dispatches whose inputs chain — per-call tunnel RPC
+    # overlaps device work identically for both variants
+    def make_run(fwd):
+        @jax.jit
+        def run(variables, image):
+            def step(img, _):
+                probs = fwd(variables, img).astype(jnp.float32)
+                return img + probs[..., :3] * 1e-6, ()
+            y, _ = jax.lax.scan(step, image, None, length=args.iters)
+            return y
+        return run
 
-    @jax.jit
-    def fused_fn(variables, img, s):
-        out = fused_eval(variables, img + s.astype(dt))
-        return jnp.float32(jnp.sum(out[:, ::64, ::64]))
+    stock_fn = make_run(lambda v_, im: model.apply(v_, im, train=False))
+    fused_fn = make_run(fused_eval)
 
     # numeric equality first (same folded params, bf16 compute)
     a = np.asarray(jax.jit(lambda v_, x_: model.apply(v_, x_, train=False)
@@ -134,16 +141,24 @@ def main():
     err = np.abs(a - b).max()
     print(f'max |stock - fused| on probs: {err:.3e}')
     assert err < 2e-2, 'fused head does not match the stock forward'
+    # the local fused_eval above is the prototype; assert the DEPLOYED
+    # implementation (models/fused_eval.py, what SegInferencer runs)
+    # matches it exactly
+    from regda_tpu.models.fused_eval import fused_dual_ppm_eval
+    d2 = np.abs(np.asarray(jax.jit(
+        lambda v_, x_: fused_dual_ppm_eval(model, v_, x_))(v, x[:2]),
+        np.float32) - b).max()
+    print(f'max |tool fused - deployed fused|: {d2:.3e}')
+    assert d2 == 0.0, 'deployed fused_eval drifted from the A/B prototype'
 
-    def chain_time(fn):
-        s = fn(v, x, jnp.zeros((), jnp.float32))
-        np.asarray(s)                                  # compile
+    def chain_time(run):
+        y = run(v, x)
+        np.asarray(y[0, 0, 0, :1])                     # compile + first exec
         t0 = time.perf_counter()
-        s = jnp.zeros((), jnp.float32)
-        for _ in range(args.iters):
-            s = fn(v, x, s * 1e-30)
-        np.asarray(s)
-        return (time.perf_counter() - t0) / args.iters
+        for _ in range(args.chain):
+            y = run(v, y)
+        np.asarray(y[0, 0, 0, :1])
+        return (time.perf_counter() - t0) / (args.iters * args.chain)
 
     t_stock = chain_time(stock_fn)
     t_fused = chain_time(fused_fn)
