@@ -165,18 +165,30 @@ def _twoway_body(ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
     def softmax_groups(logits):
         # (T, H*NP): softmax over each head's NP-lane group with pad mask.
         # A per-ROW max stabilizes every group at once (softmax is
-        # invariant to any per-row constant shift).
+        # invariant to any per-row constant shift). Note: routing the
+        # normalizing divide through approx-reciprocal + Newton measured
+        # SLOWER (7.64 vs 7.46 ms/chunk, round 5) — Mosaic's f32 divide
+        # is already cheap here; don't re-try.
         l = logits + mrow
         m = jnp.max(l, axis=-1, keepdims=True)
         ex = jnp.exp(l - m)
         denom = dot32(ex, gsum)                  # group sums at each lane
         return ex / jnp.maximum(denom, 1e-30)
 
-    def softmax_t(logits):
-        # (T, H*NP): softmax over T per column
+    def softmax_t_scaled(logits):
+        # (T, H*NP) softmax over T per column, returned FACTORED as
+        # (ex, rd): ex = exp(logits - colmax) unnormalized, rd the
+        # (H*NP, 1) reciprocal column sums. Every consumer contracts ex
+        # over T into an (H*NP, C) row space where the per-column divide
+        # is a tiny row scale — folding it there replaces the (T, H*NP)
+        # VPU divide pass, and the column sum itself rides the MXU as a
+        # ones-dot instead of a T-long VPU reduction (round-5 probe: the
+        # softmax reductions+divides were ~0.7 ms of the 7.6 ms chunk).
         mx = jnp.max(logits, axis=0, keepdims=True)
         ex = jnp.exp(logits - mx)
-        return ex / jnp.sum(ex, axis=0, keepdims=True)
+        denom = dot_t(ex, jnp.full((t, 128), 1.0, dt))   # (H*NP, 128)
+        rd = 1.0 / jnp.maximum(denom[:, :1], 1e-30)      # (H*NP, 1)
+        return ex, rd
 
     def block_cols(tok):
         # (NP, D) token matrix -> (D, H*NP) block-diagonal column embed:
@@ -233,8 +245,8 @@ def _twoway_body(ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
     # prompt vs one ~1M-lane add (measured faster this way in round 5).
     k1pe = keys1 + pe
     logits_t = dot(k1pe, e1.astype(dt)) * scale
-    attn_t = softmax_t(logits_t)                        # (T, H*NP) f32
-    u = dot_t(attn_t, keys1)                            # (H*NP, C) f32
+    ex_t, rd_t = softmax_t_scaled(logits_t)             # (T, H*NP) f32
+    u = dot_t(ex_t, keys1) * rd_t                       # (H*NP, C) f32
     o_full = dot(u, wvt_ref[...])                       # (H*NP, D) f32
     merged = merge_heads(o_full) + bvt_ref[0][None, :].astype(f32)
     out_t = dot(merged, wot_ref[...]) + bot_ref[0][None, :].astype(f32)
@@ -266,10 +278,10 @@ def _twoway_body(ktok0_ref, vtok0_ref, q1_ref, qpe_ref,
     qtokf = dot(qp3, wqf_ref[...]) + bqf_ref[0][None, :].astype(f32)
     qblkf = block_cols(qtokf.astype(dt))
     ef = dot(wkf_ref[...], qblkf)
-    # k-bias (bkf) cancels in softmax_t, pe-add shared as above
+    # k-bias (bkf) cancels in the softmax, pe-add shared as above
     logits_f = dot(keys2 + pe, ef.astype(dt)) * scale
-    attn_f = softmax_t(logits_f)
-    uf = dot_t(attn_f, keys2)
+    ex_f, rd_f = softmax_t_scaled(logits_f)
+    uf = dot_t(ex_f, keys2) * rd_f
     of = dot(uf, wvf_ref[...])
     mergedf = merge_heads(of) + bvf_ref[0][None, :].astype(f32)
     outf = dot(mergedf, wof_ref[...]) + bof_ref[0][None, :].astype(f32)

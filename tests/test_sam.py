@@ -286,8 +286,10 @@ def test_generate_regions_batch_matches_single(tiny_sam):
 
 
 def test_generate_regions_stream_matches_batch(tiny_sam):
-    """The pipelined stream API (depth-2 in-flight batches) must yield
-    bit-identical maps, in order, to per-batch generate_regions_batch."""
+    """The pipelined stream API (depth-3 in-flight batches since round 5)
+    must yield bit-identical maps, in order, to per-batch
+    generate_regions_batch — with 3 batches the default depth keeps the
+    whole input in flight at once, the strongest-overlap case."""
     from regda_tpu.models.sam.auto import SamRegionGenerator
     model, variables = tiny_sam
     gen = SamRegionGenerator(model, variables, points_per_side=4,
