@@ -902,14 +902,22 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
             if area >= area_threshold:
                 per_crop_ids[ci][mi] = gid + 1
         canvas = jnp.zeros((h, w), jnp.int32)
+        any_painted = False
         for ci, (r, box) in enumerate(crops):
             ids = per_crop_ids[ci]
             if not ids.any():
                 continue
+            any_painted = True
             paint = self._paint_fn((box[0], box[1], r['ch'], r['cw']))
             canvas = paint(canvas, r['masks'], jnp.asarray(ids))
-        # ids stay well under 2^16: halve the (slow-link) download
-        return np.asarray(canvas.astype(jnp.uint16)).astype(np.int32)
+        # host-known id range (see generate_regions_batch): skip the
+        # slow-link download for empty maps, uint8 when ids fit
+        if not any_painted:
+            return np.zeros((h, w), np.int32)
+        max_id = max((int(i.max()) for i in per_crop_ids.values()
+                      if i.size), default=0)
+        dl_dt = jnp.uint8 if max_id <= 255 else jnp.uint16
+        return np.asarray(canvas.astype(dl_dt)).astype(np.int32)
 
 
     # ----------------------------------------------- batched (vmapped) jits
@@ -1439,11 +1447,13 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
         # unpack-and-max runs over ~assigned masks, not the whole budget
         # (slot counts bucketed to powers of two to bound recompiles)
         canvases = jnp.zeros((n_tiles, h, w), jnp.int32)
+        any_painted = False
         for ci, (p, box) in enumerate(zip(per_pos, crop_boxes)):
             ids_ci = np.stack([all_ids[ti][ci] for ti in range(n_tiles)])
             used = np.nonzero(ids_ci.any(axis=0))[0]
             if not len(used):
                 continue
+            any_painted = True
             m_total = ids_ci.shape[1]
             k = 1
             while k < len(used):
@@ -1461,7 +1471,21 @@ class SamRegionGenerator(SamAutomaticMaskGenerator):
                                            p['ch'], p['cw']))
             canvases = paint(canvases, p['packed'][:, jnp.asarray(sel)],
                              jnp.asarray(ids_sel))
-        out = np.asarray(canvases.astype(jnp.uint16)).astype(np.int32)
+        # the canvas download rides the slow tunneled d2h link (~29 MB/s
+        # measured round 5: 4.2 MB uint16 per 8-tile batch = ~145 ms, the
+        # bench's run-to-run bimodality). Ids are assigned on HOST during
+        # NMS, so the host knows the canvas contents' range before
+        # downloading: all-empty batches (no mask painted any tile) skip
+        # the transfer outright — the canvas is provably the zeros it was
+        # initialized to — and otherwise uint8 ships whenever every id
+        # fits, halving the transfer vs uint16
+        if not any_painted:
+            out = np.zeros((n_tiles, h, w), np.int32)
+        else:
+            max_id = max((int(i.max()) for ids in all_ids for i in ids
+                          if i.size), default=0)
+            dl_dt = jnp.uint8 if max_id <= 255 else jnp.uint16
+            out = np.asarray(canvases.astype(dl_dt)).astype(np.int32)
         if timing:
             t3 = _time.perf_counter()
             disp = t0 - getattr(self, '_t_gen_start', t0)
