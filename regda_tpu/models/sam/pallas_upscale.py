@@ -82,8 +82,7 @@ def _gelu_exact(x):
 
 
 def _kernel(active_ref, src_ref, k1_ref, b1_ref, m_ref, lnw_ref, lnb_ref,
-            k2bd_ref, b2_ref, hbd_ref, out_ref, *, blocked: bool = False,
-            splits: int = 1):
+            k2bd_ref, b2_ref, hbd_ref, out_ref, *, blocked: bool = False):
     # per-prompt gate (everything-mode IoU prefilter): skipped prompts
     # write ZERO blocks — the caller's candidate selection runs a one-hot
     # matmul over ALL rows, so garbage (unlike the stats kernel's) would
@@ -92,46 +91,26 @@ def _kernel(active_ref, src_ref, k1_ref, b1_ref, m_ref, lnw_ref, lnb_ref,
     # layout that passes Mosaic's block rules BOTH unbatched and under
     # vmap (SMEM/sub-(8,128) blocked specs are rejected, and vmap
     # prepends a Squeezed dim that breaks 1-D full-array SMEM specs).
+    # (A REGDA_UPSCALE_SPLIT sub-chain interleave knob lived here through
+    # round 5 — measured a loser at every split, removed.)
     flag = active_ref[0, 0, 0]
 
     @pl.when(flag != 0)
     def _():
-        _upscale_body(src_ref, k1_ref, b1_ref, m_ref, lnw_ref, lnb_ref,
-                      k2bd_ref, b2_ref, hbd_ref, out_ref, blocked=blocked,
-                      splits=splits)
+        _upscale_rows(src_ref, k1_ref, b1_ref, m_ref, lnw_ref, lnb_ref,
+                      k2bd_ref, b2_ref, hbd_ref, out_ref, blocked=blocked)
 
     @pl.when(flag == 0)
     def _():
         out_ref[0] = jnp.zeros(out_ref.shape[1:], out_ref.dtype)
 
 
-def _upscale_body(src_ref, k1_ref, b1_ref, m_ref, lnw_ref, lnb_ref,
-                  k2bd_ref, b2_ref, hbd_ref, out_ref, *,
-                  blocked: bool = False, splits: int = 1):
-    # splits > 1 (REGDA_UPSCALE_SPLIT): trace the chain as `splits`
-    # independent sub-row-block chains — the chain alternates MXU GEMMs
-    # with wide VPU passes (two exact gelus + the LN normalize), and one
-    # chain leaves each unit idle while the other works; independent
-    # sub-chains give the scheduler work to interleave. Identical math
-    # (the chain is per-pixel), identical outputs.
-    if splits > 1:
-        rows = src_ref.shape[1]
-        sub = rows // splits
-        for s in range(splits):
-            _upscale_rows(src_ref, k1_ref, b1_ref, m_ref, lnw_ref, lnb_ref,
-                          k2bd_ref, b2_ref, hbd_ref, out_ref,
-                          blocked=blocked, lo=s * sub, hi=(s + 1) * sub)
-        return
-    _upscale_rows(src_ref, k1_ref, b1_ref, m_ref, lnw_ref, lnb_ref,
-                  k2bd_ref, b2_ref, hbd_ref, out_ref, blocked=blocked)
-
-
 def _upscale_rows(src_ref, k1_ref, b1_ref, m_ref, lnw_ref, lnb_ref,
                   k2bd_ref, b2_ref, hbd_ref, out_ref, *,
-                  blocked: bool = False, lo: int = 0, hi: int | None = None):
+                  blocked: bool = False):
     f32 = jnp.float32
     dt = k1_ref.dtype
-    x = src_ref[0] if hi is None else src_ref[0, lo:hi]  # (P, C)
+    x = src_ref[0]                                       # (P, C)
     t1 = jnp.dot(x, k1_ref[...], preferred_element_type=f32)
     t1 = t1 + b1_ref[0][None, :]                         # (P, 4*c4)
     # LN per 64-lane block, moments via ONE block-average GEMM each (the
@@ -164,17 +143,11 @@ def _upscale_rows(src_ref, k1_ref, b1_ref, m_ref, lnw_ref, lnb_ref,
         out = jax.lax.dot_general(
             hbd_ref[0], t2.astype(dt),
             (((1,), (1,)), ((), ())), preferred_element_type=f32)
-        if hi is None:
-            out_ref[0] = out.astype(out_ref.dtype)       # (M*16, P)
-        else:
-            out_ref[0, :, lo:hi] = out.astype(out_ref.dtype)
+        out_ref[0] = out.astype(out_ref.dtype)           # (M*16, P)
     else:
         out = jnp.dot(t2.astype(dt), hbd_ref[0],
                       preferred_element_type=f32)
-        if hi is None:
-            out_ref[0] = out.astype(out_ref.dtype)       # (P, M*16)
-        else:
-            out_ref[0, lo:hi] = out.astype(out_ref.dtype)
+        out_ref[0] = out.astype(out_ref.dtype)           # (P, M*16)
 
 
 def _interleave(out, b, h, w, m):
@@ -290,8 +263,6 @@ def _upscale_fwd_impl(src, hyper_in, k1, b1, lnw, lnb, k2, b2,
                       out_dtype=jnp.float32,
                       interpret: bool | None = None, active=None,
                       blocked: bool = False):
-    import os as _os
-    splits = int(_os.environ.get('REGDA_UPSCALE_SPLIT', '1'))
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
     b, h, w, c = src.shape
@@ -336,7 +307,7 @@ def _upscale_fwd_impl(src, hyper_in, k1, b1, lnw, lnb, k2, b2,
         out_specs = pl.BlockSpec((1, pix, m * 16), lambda i, r: (i, r, 0),
                                  memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_kernel, blocked=blocked, splits=splits),
+        functools.partial(_kernel, blocked=blocked),
         out_shape=out_shape,
         grid=grid,
         in_specs=[
