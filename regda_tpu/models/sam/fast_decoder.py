@@ -296,6 +296,9 @@ def mask_decoder_fast(params, image_embeddings, image_pe, sparse_prompt,
 
     src_shared = image_embeddings + dense_prompt[:1]
     import os as _os
+    # trace-time read: callers that jit around mask_decoder_fast bake
+    # this choice into their compiled fn — auto.py keys its decode jit
+    # cache on these env values so toggling them re-traces (ADVICE r4)
     if fused_upscale and (
             _os.environ.get('REGDA_FUSED_TWOWAY')
             or (jax.default_backend() == 'tpu'

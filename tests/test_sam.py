@@ -285,6 +285,29 @@ def test_generate_regions_batch_matches_single(tiny_sam):
         np.testing.assert_array_equal(b, s)
 
 
+def test_generate_regions_empty_skips_download(tiny_sam):
+    """When no candidate survives the filters, the region maps are the
+    all-zeros canvas — round 5 skips the (slow-link) canvas download for
+    that case entirely, so the empty result must still come back with
+    the right shape/dtype from BOTH the batch and single paths."""
+    from regda_tpu.models.sam.auto import SamRegionGenerator
+    model, variables = tiny_sam
+    gen = SamRegionGenerator(model, variables, points_per_side=4,
+                             points_per_batch=8, pred_iou_thresh=1e9,
+                             stability_score_thresh=1.0, crop_n_layers=0,
+                             mask_budget=16)
+    rng = np.random.RandomState(4)
+    tiles = [rng.randint(0, 255, (64, 64, 3), np.uint8) for _ in range(2)]
+    maps = gen.generate_regions_batch(tiles)
+    assert len(maps) == 2
+    for m in maps:
+        assert m.shape == (64, 64) and m.dtype == np.int32
+        assert not m.any()
+    single = gen.generate_regions(tiles[0])
+    assert single.shape == (64, 64) and single.dtype == np.int32
+    assert not single.any()
+
+
 def test_generate_regions_stream_matches_batch(tiny_sam):
     """The pipelined stream API (depth-3 in-flight batches since round 5)
     must yield bit-identical maps, in order, to per-batch
